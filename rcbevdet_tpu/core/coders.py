@@ -1,0 +1,92 @@
+"""CenterPoint box decoding (JAX, static top-K).
+
+Mirrors ``CenterPointBBoxCoder.decode`` (reference
+core/bbox/coders/centerpoint_bbox_coders.py:117-229) with a static-shape
+formulation: score-threshold / range filtering become a returned validity
+mask instead of boolean compaction, so the whole decode jits cleanly; NMS
+consumes the masked arrays host-side.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DecodedBoxes(NamedTuple):
+    bboxes: jnp.ndarray  # [B, K, 9] (x, y, z_gravity, dx, dy, dz, yaw, vx, vy)
+    scores: jnp.ndarray  # [B, K]
+    labels: jnp.ndarray  # [B, K] int32
+    valid: jnp.ndarray  # [B, K] bool (score-threshold & center-range mask)
+
+
+def centerpoint_decode(
+    heatmap,
+    rot_sine,
+    rot_cosine,
+    height,
+    dim,
+    vel,
+    reg,
+    pc_range,
+    voxel_size,
+    out_size_factor,
+    post_center_range,
+    max_num=500,
+    score_threshold=0.1,
+):
+    """Decode head outputs into metric boxes.
+
+    Args (all NHWC):
+      heatmap: [B, H, W, num_classes] sigmoided class scores.
+      rot_sine/rot_cosine: [B, H, W, 1].
+      height: [B, H, W, 1] (gravity-center z).
+      dim: [B, H, W, 3] (already exp'd if norm_bbox).
+      vel: [B, H, W, 2].
+      reg: [B, H, W, 2] sub-cell offsets.
+
+    Returns:
+      DecodedBoxes with K = max_num entries per sample.
+    """
+    b, h, w, num_cls = heatmap.shape
+
+    # top-K over all classes jointly: the reference does per-class topK then
+    # topK over the union (coders.py:63-97); with K <= H*W both formulations
+    # admit the same result set; we take topK over the flattened map which is
+    # exact whenever per-class peaks don't exceed K (always true at K=500
+    # with a 10-class 128x128 map when peaks are sparse) and simpler on TPU.
+    flat = heatmap.transpose(0, 3, 1, 2).reshape(b, -1)  # [B, C*H*W]
+    scores, idx = jax.lax.top_k(flat, max_num)  # [B, K]
+    labels = (idx // (h * w)).astype(jnp.int32)
+    pos = idx % (h * w)
+    ys = (pos // w).astype(jnp.float32)
+    xs = (pos % w).astype(jnp.float32)
+
+    def gather(feat):  # [B, H, W, C] -> [B, K, C]
+        return jax.vmap(lambda f, p: f.reshape(h * w, -1)[p])(feat, pos)
+
+    reg_g = gather(reg)
+    xs = xs[..., None] + reg_g[..., 0:1]
+    ys = ys[..., None] + reg_g[..., 1:2]
+    rot = jnp.arctan2(gather(rot_sine), gather(rot_cosine))
+    hei = gather(height)
+    dim_g = gather(dim)
+    vel_g = gather(vel)
+
+    xs = xs * out_size_factor * voxel_size[0] + pc_range[0]
+    ys = ys * out_size_factor * voxel_size[1] + pc_range[1]
+
+    bboxes = jnp.concatenate([xs, ys, hei, dim_g, rot, vel_g], axis=-1)
+
+    valid = jnp.ones(scores.shape, bool)
+    if score_threshold is not None:
+        valid &= scores > score_threshold
+    if post_center_range is not None:
+        pcr = jnp.asarray(post_center_range)
+        centers = bboxes[..., :3]
+        valid &= jnp.all(centers >= pcr[:3], axis=-1)
+        valid &= jnp.all(centers <= pcr[3:], axis=-1)
+
+    return DecodedBoxes(bboxes, scores, labels, valid)

@@ -1,0 +1,142 @@
+"""Gaussian heatmap utilities.
+
+Two families live here:
+
+- ``*_np`` NumPy functions used CPU-side for CenterPoint target rendering in
+  the input pipeline (the reference renders targets on-device inside the loss,
+  core/utils/gaussian.py:26 + centerpoint_head.py:441-590; we move this to the
+  data loader so the jitted train step stays shape-static).
+- ``render_rcs_maps`` — a vectorized JAX renderer for the RCS-aware scatter's
+  gaussian-disk heatmap + constant RCS patch (reference
+  pillar_scatter.py:119-131 draws these with a Python loop over pillars; here
+  every pillar renders a bounded window and windows combine by max-scatter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def gaussian_2d_np(shape, sigma=1.0):
+    """Isotropic 2D gaussian kernel (matches core/utils/gaussian.py:6-23)."""
+    m, n = [(ss - 1.0) / 2.0 for ss in shape]
+    y, x = np.ogrid[-m : m + 1, -n : n + 1]
+    h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
+    h[h < np.finfo(h.dtype).eps * h.max()] = 0
+    return h
+
+
+def gaussian_radius_np(det_size, min_overlap=0.5):
+    """CornerNet-style gaussian radius (core/utils/gaussian.py:108-137)."""
+    height, width = det_size
+    a1 = 1
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = np.sqrt(b1**2 - 4 * a1 * c1)
+    r1 = (b1 + sq1) / 2
+
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = np.sqrt(b2**2 - 4 * a2 * c2)
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = np.sqrt(b3**2 - 4 * a3 * c3)
+    r3 = (b3 + sq3) / 2
+    return min(r1, r2, r3)
+
+
+def draw_heatmap_gaussian_np(heatmap, center, radius, k=1.0):
+    """Max-blend a gaussian into ``heatmap`` in place (gaussian.py:26-55)."""
+    diameter = 2 * radius + 1
+    gaussian = gaussian_2d_np((diameter, diameter), sigma=diameter / 6)
+    x, y = int(center[0]), int(center[1])
+    height, width = heatmap.shape[:2]
+    left, right = min(x, radius), min(width - x, radius + 1)
+    top, bottom = min(y, radius), min(height - y, radius + 1)
+    if right + left <= 0 or bottom + top <= 0:
+        return heatmap
+    masked_heatmap = heatmap[y - top : y + bottom, x - left : x + right]
+    masked_gaussian = gaussian[
+        radius - top : radius + bottom, radius - left : radius + right
+    ]
+    np.maximum(masked_heatmap, masked_gaussian * k, out=masked_heatmap)
+    return heatmap
+
+
+def render_rcs_maps(centers_xy, radius, rcs_value, pillar_mask, ny, nx, r_max=16):
+    """Render the RCS scatter's [heatmap, rcs-feat] channels for one sample.
+
+    For each valid pillar at integer canvas coords (x, y) with truncated
+    integer radius r (clamped to ``r_max``):
+    - heatmap: max-blend of a gaussian with sigma = (2r+1)/6 over a
+      (2r+1)^2 window (pillar_scatter.py:130 / gaussian.py:26).
+    - rcs feat: the raw RCS value written over the same window rectangle
+      (gaussian.py:57-81 writes a constant rectangle, not a gaussian).
+
+    Deviations from the reference, both bounded and documented:
+    - windows are clamped to a static ``r_max`` (the reference's radii are
+      unbounded; a gaussian's support beyond +-3 sigma is negligible, and the
+      constant RCS rectangle for giant radii mostly saturates the canvas).
+    - overlapping RCS rectangles combine by max; the reference's Python loop
+      lets the last pillar in voxel-scan order win, an order-dependent detail.
+
+    Args:
+      centers_xy: [P, 2] int32 (x, y) canvas coordinates.
+      radius: [P] float radii (pre-truncation); int-truncated here.
+      rcs_value: [P] raw RCS value per pillar.
+      pillar_mask: [P] bool.
+      ny, nx: static canvas size.
+      r_max: static max radius.
+
+    Returns:
+      heatmap [ny, nx], rcs_feat [ny, nx]
+    """
+    p = centers_xy.shape[0]
+    win = 2 * r_max + 1
+    r_int = jnp.clip(jnp.floor(radius), 0, r_max).astype(jnp.int32)  # [P]
+
+    dy = jnp.arange(-r_max, r_max + 1)
+    dx = jnp.arange(-r_max, r_max + 1)
+    dyy, dxx = jnp.meshgrid(dy, dx, indexing="ij")  # [win, win]
+
+    sigma = (2.0 * r_int.astype(jnp.float32) + 1.0) / 6.0  # [P]
+    d2 = (dxx**2 + dyy**2).astype(jnp.float32)  # [win, win]
+    gauss = jnp.exp(-d2[None] / (2.0 * sigma[:, None, None] ** 2))  # [P,win,win]
+    in_disk_window = (jnp.abs(dxx)[None] <= r_int[:, None, None]) & (
+        jnp.abs(dyy)[None] <= r_int[:, None, None]
+    )
+    gauss = jnp.where(in_disk_window, gauss, 0.0)
+
+    ys = centers_xy[:, 1][:, None, None] + dyy[None]  # [P, win, win]
+    xs = centers_xy[:, 0][:, None, None] + dxx[None]
+    inb = (
+        (ys >= 0)
+        & (ys < ny)
+        & (xs >= 0)
+        & (xs < nx)
+        & in_disk_window
+        & pillar_mask[:, None, None]
+    )
+    flat_idx = jnp.where(inb, ys * nx + xs, ny * nx)  # trash cell at end
+
+    heat = jnp.zeros((ny * nx + 1,), jnp.float32)
+    heat = heat.at[flat_idx.reshape(-1)].max(
+        jnp.where(inb, gauss, 0.0).reshape(-1), mode="drop"
+    )
+    heat = heat[: ny * nx].reshape(ny, nx)
+
+    feat_vals = jnp.broadcast_to(
+        rcs_value[:, None, None], (p, win, win)
+    )
+    feat = jnp.full((ny * nx + 1,), -jnp.inf, jnp.float32)
+    feat = feat.at[flat_idx.reshape(-1)].max(
+        jnp.where(inb, feat_vals, -jnp.inf).reshape(-1), mode="drop"
+    )
+    feat = jnp.where(jnp.isfinite(feat), feat, 0.0)
+    feat = feat[: ny * nx].reshape(ny, nx)
+    return heat, feat

@@ -1,0 +1,13 @@
+from .bev_pool import bev_pool, bev_pool_ranks
+from .voxelize import voxelize_pillars
+from .warp import grid_sample_2d, bilinear_resize
+from .deform_attn import ms_deform_attn_core
+
+__all__ = [
+    "bev_pool",
+    "bev_pool_ranks",
+    "voxelize_pillars",
+    "grid_sample_2d",
+    "bilinear_resize",
+    "ms_deform_attn_core",
+]

@@ -1,0 +1,71 @@
+"""MSDeformAttn sampling core vs a torch grid_sample oracle.
+
+The torch oracle below reimplements the well-known pure-PyTorch fallback
+semantics of multi-scale deformable attention (per-head bilinear sampling at
+normalized locations with align_corners=False, weighted sum over points) that
+the reference validates its CUDA kernel against (ops/deformattn/test.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core
+
+
+def torch_deform_attn(value, shapes, locs, weights):
+    """value [B, L, H, D]; locs [B, Q, H, nl, P, 2]; weights [B, Q, H, nl, P]."""
+    b, _, nheads, hd = value.shape
+    _, q = locs.shape[0], locs.shape[1]
+    out = torch.zeros(b, q, nheads, hd)
+    start = 0
+    for lvl, (hh, ww) in enumerate(shapes):
+        v = value[:, start : start + hh * ww]
+        start += hh * ww
+        v = v.permute(0, 2, 3, 1).reshape(b * nheads, hd, hh, ww)
+        g = locs[:, :, :, lvl] * 2 - 1  # [B, Q, H, P, 2]
+        g = g.permute(0, 2, 1, 3, 4).reshape(b * nheads, q, -1, 2)
+        samp = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                             align_corners=False)  # [B*H, hd, Q, P]
+        wgt = weights[:, :, :, lvl].permute(0, 2, 1, 3).reshape(b * nheads, 1, q, -1)
+        o = (samp * wgt).sum(-1)  # [B*H, hd, Q]
+        out += o.reshape(b, nheads, hd, q).permute(0, 3, 1, 2)
+    return out.reshape(b, q, nheads * hd)
+
+
+def test_deform_attn_matches_torch(rng):
+    b, q, nheads, hd, npts = 2, 10, 4, 8, 6
+    shapes = [(7, 9)]
+    lin = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((b, lin, nheads, hd)).astype(np.float32)
+    locs = rng.random((b, q, nheads, len(shapes), npts, 2)).astype(np.float32)
+    locs = locs * 1.2 - 0.1  # include out-of-range samples
+    weights = rng.random((b, q, nheads, len(shapes), npts)).astype(np.float32)
+
+    got = ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(weights)
+    )
+    ref = torch_deform_attn(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs),
+        torch.from_numpy(weights),
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_attn_multi_level(rng):
+    b, q, nheads, hd, npts = 1, 5, 2, 4, 3
+    shapes = [(6, 6), (3, 3)]
+    lin = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((b, lin, nheads, hd)).astype(np.float32)
+    locs = rng.random((b, q, nheads, len(shapes), npts, 2)).astype(np.float32)
+    weights = rng.random((b, q, nheads, len(shapes), npts)).astype(np.float32)
+
+    got = ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(weights)
+    )
+    ref = torch_deform_attn(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs),
+        torch.from_numpy(weights),
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
