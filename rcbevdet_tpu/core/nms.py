@@ -157,6 +157,11 @@ def scale_nms_np(
     factor = np.asarray(nms_rescale_factor, np.float32)[labels]
     boxes[:, 3:6] *= factor[:, None]
     bev = boxes[:, [0, 1, 3, 4, 6]]
-    return rotated_nms_np(
+    from . import nms_native
+
+    nms_fn = rotated_nms_np
+    if nms_native.available():
+        nms_fn = nms_native.rotated_nms
+    return nms_fn(
         bev, scores, nms_thresh, pre_max_size=pre_max_size, post_max_size=post_max_size
     )

@@ -1,0 +1,21 @@
+from .pcd import load_radar_pcd
+from .image_pipeline import ImageAugConfig, prepare_image_inputs, sample_image_augmentation
+from .radar_pipeline import load_radar_sweeps, pad_radar_points
+from .depth_gt import points_to_depth_maps
+from .dataset import NuScenesRCDataset, cbgs_indices, collate_samples
+from .synthetic import synthetic_batch, synthetic_sample
+
+__all__ = [
+    "load_radar_pcd",
+    "ImageAugConfig",
+    "prepare_image_inputs",
+    "sample_image_augmentation",
+    "load_radar_sweeps",
+    "pad_radar_points",
+    "points_to_depth_maps",
+    "NuScenesRCDataset",
+    "cbgs_indices",
+    "collate_samples",
+    "synthetic_batch",
+    "synthetic_sample",
+]

@@ -1,0 +1,97 @@
+"""Inference post-processing: decode + Scale-NMS, host-side.
+
+Equivalent of the reference's ``simple_test_pts`` -> ``get_bboxes`` ->
+``get_task_detections`` chain (centerpoint.py:85, centerpoint_head.py:685,
+:815-886): the device emits dense head maps; decoding to top-K boxes happens
+jitted (core/coders.py); rotated Scale-NMS runs on host over <=500 masked
+candidates per sample.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.coders import centerpoint_decode
+from .core.nms import circle_nms_np, scale_nms_np
+
+RC_TEST_CFG = dict(
+    pc_range=(-51.2, -51.2),
+    voxel_size=(0.1, 0.1),
+    out_size_factor=8,
+    post_center_range=(-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
+    max_num=500,
+    score_threshold=0.1,
+    nms_type="rotate",
+    nms_thr=0.2,
+    nms_rescale_factor=(1.0, 0.7, 0.7, 0.4, 0.55, 1.1, 1.0, 1.0, 1.5, 3.5),
+    pre_max_size=1000,
+    post_max_size=500,
+    min_radius=(4, 12, 10, 1, 0.85, 0.175),
+)
+
+
+def decode_predictions(preds, test_cfg=RC_TEST_CFG):
+    """Jittable part: head maps -> top-K candidate boxes."""
+    heat = jax.nn.sigmoid(preds["heatmap"])
+    dim = jnp.exp(preds["dim"])  # norm_bbox=True
+    rot_sine = preds["rot"][..., 0:1]
+    rot_cosine = preds["rot"][..., 1:2]
+    return centerpoint_decode(
+        heat, rot_sine, rot_cosine, preds["height"], dim, preds["vel"],
+        preds["reg"],
+        pc_range=test_cfg["pc_range"],
+        voxel_size=test_cfg["voxel_size"],
+        out_size_factor=test_cfg["out_size_factor"],
+        post_center_range=test_cfg["post_center_range"],
+        max_num=test_cfg["max_num"],
+        score_threshold=test_cfg["score_threshold"],
+    )
+
+
+def postprocess_sample(boxes, scores, labels, valid, test_cfg=RC_TEST_CFG):
+    """Host-side NMS for one sample; returns filtered numpy arrays."""
+    boxes = np.asarray(boxes)[np.asarray(valid)]
+    scores = np.asarray(scores)[np.asarray(valid)]
+    labels = np.asarray(labels)[np.asarray(valid)]
+    if len(boxes) == 0:
+        return boxes.reshape(0, 9), scores, labels
+    if test_cfg["nms_type"] == "rotate":
+        keep = scale_nms_np(
+            boxes, scores, labels, test_cfg["nms_thr"],
+            test_cfg["nms_rescale_factor"],
+            pre_max_size=test_cfg["pre_max_size"],
+            post_max_size=test_cfg["post_max_size"],
+        )
+    else:  # circle NMS on centers
+        cand = np.concatenate([boxes[:, :2], scores[:, None]], 1)
+        keep = circle_nms_np(
+            cand, test_cfg["min_radius"], post_max_size=test_cfg["post_max_size"]
+        )
+    return boxes[keep], scores[keep], labels[keep]
+
+
+def predict(model, variables, batch, tokens=None, test_cfg=RC_TEST_CFG,
+            apply_fn=None):
+    """Full inference for one batch: forward -> decode (jitted) -> NMS (host).
+
+    Returns {token or index: (boxes, scores, labels)}.
+    """
+    if apply_fn is None:
+        @jax.jit
+        def apply_fn(variables, batch):
+            preds, _ = model.apply(variables, batch, train=False)
+            return decode_predictions(preds, test_cfg)
+
+    dec = apply_fn(variables, batch)
+    out = {}
+    b = dec.bboxes.shape[0]
+    for i in range(b):
+        key = tokens[i] if tokens is not None else i
+        out[key] = postprocess_sample(
+            dec.bboxes[i], dec.scores[i], dec.labels[i], dec.valid[i], test_cfg
+        )
+    return out

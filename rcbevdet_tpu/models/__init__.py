@@ -1,0 +1,40 @@
+from .detectors import RCBEVDet, RCBEVDetConfig, CameraBEVBranch
+from .centerpoint_head import CenterHead, centerpoint_loss, clip_sigmoid
+from .camf import CAMF, MSDeformAttn, LearnedPositionalEncoding, RadarConvFuser
+from .radar_encoder import RadarBEVNet
+from .pillar_scatter import PointPillarsScatterRCS
+from .resnet import ResNet, CustomResNet
+from .fpn import CustomFPN, FPN_LSS, SECOND, SECONDFPN
+from .view_transformer import (
+    LSSViewTransformerBEVDepth,
+    create_frustum,
+    frustum_to_ego,
+    depth_mlp_input,
+    depth_loss,
+)
+
+__all__ = [
+    "RCBEVDet",
+    "RCBEVDetConfig",
+    "CameraBEVBranch",
+    "CenterHead",
+    "centerpoint_loss",
+    "clip_sigmoid",
+    "CAMF",
+    "MSDeformAttn",
+    "LearnedPositionalEncoding",
+    "RadarConvFuser",
+    "RadarBEVNet",
+    "PointPillarsScatterRCS",
+    "ResNet",
+    "CustomResNet",
+    "CustomFPN",
+    "FPN_LSS",
+    "SECOND",
+    "SECONDFPN",
+    "LSSViewTransformerBEVDepth",
+    "create_frustum",
+    "frustum_to_ego",
+    "depth_mlp_input",
+    "depth_loss",
+]

@@ -1,0 +1,327 @@
+"""Top-level detectors: BEVDepth4D (camera-only) and RCBEVDet (radar-camera).
+
+Re-design of the reference detector family (models/detectors/bevdet.py,
+bevdet_rc.py).  Key structural differences from the torch code, all
+TPU-motivated:
+
+- **Batched temporal frames**: the reference loops over the 9 temporal frames
+  in Python with per-frame ``torch.no_grad`` (bevdet_rc.py:753-775).  Here the
+  key frame runs with gradients and ALL adjacent frames run in one batched
+  pass over ``stop_gradient`` inputs, which XLA dead-code-eliminates from the
+  backward while keeping the MXU fed with a 8x-larger conv batch.
+- **Host-prepared geometry**: sensor2keyego chains are computed float64 on
+  the host in the data pipeline (the reference inverts 4x4s in double on
+  device, bevdet.py:705-708); the model consumes ready [B, F, N, 4, 4]s.
+- **Fixed-capacity radar**: points arrive padded [B, Nmax, 7] with masks and
+  flow through static-shape voxelization (ops/voxelize.py).
+- NHWC everywhere.
+
+Frame alignment without ``align_after_view_transfromation`` (the shipped
+config) falls out of LSS: each frame's frustum is projected with its own
+sensor->keyego transform, so its BEV is already in the key ego frame
+(bevdet_rc.py:742-802).  ``shift_feature``-style post-alignment for the
+cached-BEV inference path is ``temporal.shift_bev``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.voxelize import voxelize_pillars
+from .camf import CAMF
+from .centerpoint_head import CenterHead
+from .fpn import FPN_LSS, SECOND, SECONDFPN, CustomFPN
+from .pillar_scatter import PointPillarsScatterRCS
+from .radar_encoder import RadarBEVNet
+from .resnet import CustomResNet, ResNet
+from .view_transformer import LSSViewTransformerBEVDepth
+
+
+@dataclasses.dataclass(frozen=True)
+class RCBEVDetConfig:
+    """Static model hyper-parameters (mirrors configs/rcbevdet/rcbevdet-
+    256x704-r50-BEV128-9kf-depth-cbgs12e-circlelarger.py)."""
+
+    # camera branch
+    input_size: Tuple[int, int] = (256, 704)
+    downsample: int = 16
+    resnet_depth: int = 50
+    img_neck_channels: int = 512
+    num_trans_channels: int = 80  # numC_Trans
+    num_adj: int = 8
+    grid_config: Any = dataclasses.field(
+        default_factory=lambda: {
+            "x": (-51.2, 51.2, 0.8),
+            "y": (-51.2, 51.2, 0.8),
+            "z": (-5.0, 3.0, 8.0),
+            "depth": (1.0, 60.0, 0.5),
+        }
+    )
+    aspp_mid_channels: int = 96
+    # radar branch
+    use_radar: bool = True
+    radar_in_channels: int = 7
+    radar_feat_channels: Tuple[int, ...] = (32, 64)
+    radar_voxel_size: Tuple[float, float, float] = (0.2, 0.2, 8.0)
+    point_cloud_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    radar_max_pillars: int = 1200
+    radar_max_points_per_pillar: int = 10
+    radar_canvas: Tuple[int, int] = (512, 512)
+    radar_second_channels: Tuple[int, ...] = (64, 128, 256)
+    radar_second_layers: Tuple[int, ...] = (3, 5, 5)
+    radar_fpn_channels: Tuple[int, ...] = (128, 128, 128)
+    rcs_r_max: int = 16
+    # fusion / head
+    imc: int = 256
+    bev_size: int = 128
+    num_classes: int = 10
+    # training-time behavior
+    freeze_img: bool = True
+
+    @property
+    def num_frames(self):
+        return self.num_adj + 1
+
+    @property
+    def rac(self):
+        return sum(self.radar_fpn_channels)
+
+
+class CameraBEVBranch(nn.Module):
+    """ResNet -> CustomFPN -> DepthNet/LSS -> pre_process, for a set of
+    frames flattened into the batch dim."""
+
+    cfg: RCBEVDetConfig
+
+    @nn.compact
+    def __call__(self, imgs, sensor2keyegos, intrins, post_rots, post_trans,
+                 bda, train=False, update_stats=True):
+        """imgs: [B, N, H, W, 3]; geometry per camera. Returns (bev, depth)."""
+        c = self.cfg
+        b, n, h, w, _ = imgs.shape
+        x = ResNet(depth=c.resnet_depth, out_indices=(2, 3), name="img_backbone")(
+            imgs.reshape(b * n, h, w, 3), train=train, update_stats=update_stats
+        )
+        x = CustomFPN(out_channels=c.img_neck_channels, name="img_neck")(
+            x, train=train, update_stats=update_stats
+        )[0]
+        hf, wf = x.shape[1:3]
+        x = x.reshape(b, n, hf, wf, c.img_neck_channels)
+        bev, depth = LSSViewTransformerBEVDepth(
+            grid_config=c.grid_config,
+            input_size=c.input_size,
+            in_channels=c.img_neck_channels,
+            out_channels=c.num_trans_channels,
+            downsample=c.downsample,
+            aspp_mid_channels=c.aspp_mid_channels,
+            name="img_view_transformer",
+        )(x, sensor2keyegos, intrins, post_rots, post_trans, bda,
+          train=train, update_stats=update_stats)
+        bev = CustomResNet(
+            num_layer=(2,), num_channels=(c.num_trans_channels,), stride=(1,),
+            backbone_output_ids=(0,), name="pre_process",
+        )(bev, train=train, update_stats=update_stats)[0]
+        return bev, depth
+
+
+class RCBEVDet(nn.Module):
+    """BEVDepth4D_RC: frozen camera 4D branch + radar branch + CAMF + head.
+
+    With ``cfg.use_radar=False`` this is the camera-only BEVDepth4D baseline
+    (reference bevdet.py:834)."""
+
+    cfg: RCBEVDetConfig
+
+    def setup(self):
+        c = self.cfg
+        self.camera = CameraBEVBranch(c, name="camera")
+        self.bev_backbone = CustomResNet(
+            num_layer=(2, 2, 2),
+            num_channels=(
+                c.num_trans_channels * 2,
+                c.num_trans_channels * 4,
+                c.num_trans_channels * 8,
+            ),
+            stride=(2, 2, 2),
+            name="img_bev_encoder_backbone",
+        )
+        self.bev_neck = FPN_LSS(out_channels=c.imc, name="img_bev_encoder_neck")
+        if c.use_radar:
+            self.radar_encoder = RadarBEVNet(
+                in_channels=c.radar_in_channels,
+                feat_channels=tuple(c.radar_feat_channels),
+                voxel_size=c.radar_voxel_size,
+                point_cloud_range=c.point_cloud_range,
+                name="radar_voxel_encoder",
+            )
+            self.radar_scatter = PointPillarsScatterRCS(
+                in_channels=c.radar_feat_channels[-1],
+                output_shape=c.radar_canvas,
+                r_max=c.rcs_r_max,
+                name="radar_middle_encoder",
+            )
+            self.radar_backbone = SECOND(
+                out_channels=tuple(c.radar_second_channels),
+                layer_nums=tuple(c.radar_second_layers),
+                name="radar_bev_backbone",
+            )
+            self.radar_neck = SECONDFPN(
+                out_channels=tuple(c.radar_fpn_channels),
+                upsample_strides=(0.5, 1, 2),
+                name="radar_bev_neck",
+            )
+            self.camf = CAMF(
+                imc=c.imc, rac=c.rac, bev_size=c.bev_size, name="camf"
+            )
+        self.head = CenterHead(
+            in_channels=c.imc, num_classes=c.num_classes, name="pts_bbox_head"
+        )
+
+    def extract_img_feat(self, imgs, sensor2keyegos, intrins, post_rots,
+                         post_trans, bda, train, with_prev=True):
+        """imgs [B, F, N, H, W, 3] (frame 0 = key). Returns (bev, key depth)."""
+        c = self.cfg
+        b, f, n, h, w, _ = imgs.shape
+        # Frozen camera branch: BN normalizes with BATCH stats during fusion
+        # training but running stats stay untouched (reference
+        # bevdet_rc.py:570-580 sets track_running_stats=False); eval uses the
+        # pretrained running stats as usual.
+        cam_stats = train and not c.freeze_img
+
+        key_bev, key_depth = self.camera(
+            imgs[:, 0], sensor2keyegos[:, 0], intrins[:, 0], post_rots[:, 0],
+            post_trans[:, 0], bda, train=train, update_stats=cam_stats,
+        )
+        bev_list = [key_bev]
+        if f > 1:
+            adj = jax.tree_util.tree_map(
+                jax.lax.stop_gradient,
+                (
+                    imgs[:, 1:].reshape(b * (f - 1), n, h, w, 3),
+                    sensor2keyegos[:, 1:].reshape(b * (f - 1), n, 4, 4),
+                    intrins[:, 1:].reshape(b * (f - 1), n, 3, 3),
+                    post_rots[:, 1:].reshape(b * (f - 1), n, 3, 3),
+                    post_trans[:, 1:].reshape(b * (f - 1), n, 3),
+                    jnp.repeat(bda, f - 1, axis=0),
+                ),
+            )
+            adj_bev, _ = self.camera(*adj, train=train, update_stats=cam_stats)
+            ny, nx, ch = adj_bev.shape[1:]
+            adj_bev = adj_bev.reshape(b, f - 1, ny, nx, ch)
+            if not with_prev:
+                adj_bev = jnp.zeros_like(adj_bev)
+            adj_bev = jnp.moveaxis(adj_bev, 1, 3).reshape(b, ny, nx, (f - 1) * ch)
+            bev = jnp.concatenate([key_bev, adj_bev], axis=-1)
+        else:
+            bev = key_bev
+        feats = self.bev_backbone(bev, train=train, update_stats=cam_stats)
+        x = self.bev_neck(feats, train=train, update_stats=cam_stats)
+        return x, key_depth
+
+    def extract_radar_feat(self, radar_points, radar_mask, train):
+        """radar_points [B, Nmax, 7]; radar_mask [B, Nmax]."""
+        c = self.cfg
+        pillars = jax.vmap(
+            lambda p, m: voxelize_pillars(
+                p, m, c.point_cloud_range, c.radar_voxel_size,
+                c.radar_max_pillars, c.radar_max_points_per_pillar,
+            )
+        )(radar_points, radar_mask)
+        feats, rcs = self.radar_encoder(
+            pillars.features, pillars.num_points, pillars.coors,
+            pillars.pillar_mask, train=train,
+        )
+        canvas = self.radar_scatter(
+            feats, rcs, pillars.coors, pillars.pillar_mask, train=train
+        )
+        ms = self.radar_backbone(canvas, train=train)
+        return self.radar_neck(ms, train=train)
+
+    def forward_cached(self, batch, prev_bev, prev_sensor2keyegos):
+        """Deployment-style incremental inference (the FPS-benchmark
+        semantics, reference tools/analysis_tools/benchmark_sequential.py +
+        extract_img_feat_sequential, bevdet_rc.py:668-689): only the key
+        frame's camera branch runs; cached previous BEV features are warped
+        into the current key ego frame and concatenated.
+
+        Args:
+          batch: key-frame-only inputs — imgs [B, 1, N, H, W, 3] (or
+            [B, N, H, W, 3]), geometry likewise, plus radar.
+          prev_bev: [B, F-1, ny, nx, C] cached adjacent BEV features (in
+            their own ego frames).
+          prev_sensor2keyegos: [B, F-1, N, 4, 4] transforms of the cached
+            frames into the CURRENT global-aligned chain.
+
+        Returns (head preds, key_bev) — key_bev feeds the cache for the next
+        step.
+        """
+        from .temporal import shift_bev
+
+        c = self.cfg
+        imgs = batch["imgs"]
+        imgs = imgs[:, 0] if imgs.ndim == 6 else imgs  # [B, N, H, W, 3]
+        s2k = batch["sensor2keyegos"]
+        s2k = s2k[:, 0] if s2k.ndim == 5 else s2k
+        intr = batch["intrins"]
+        intr = intr[:, 0] if intr.ndim == 5 else intr
+        pr = batch["post_rots"]
+        pr = pr[:, 0] if pr.ndim == 5 else pr
+        pt = batch["post_trans"]
+        pt = pt[:, 0] if pt.ndim == 4 else pt
+        bda = batch["bda"]
+
+        key_bev, _ = self.camera(
+            imgs, s2k, intr, pr, pt, bda, train=False, update_stats=False
+        )
+        b, ny, nx, ch = key_bev.shape
+        f1 = prev_bev.shape[1]
+        gc = c.grid_config
+        prev_flat = prev_bev.reshape(b * f1, ny, nx, ch)
+        s2k_rep = jnp.repeat(s2k, f1, axis=0)
+        prev_s2k = prev_sensor2keyegos.reshape(b * f1, -1, 4, 4)
+        bda_rep = jnp.repeat(bda, f1, axis=0)
+        shifted = shift_bev(
+            prev_flat, s2k_rep, prev_s2k, bda_rep,
+            (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
+        )
+        shifted = shifted.reshape(b, f1, ny, nx, ch)
+        shifted = jnp.moveaxis(shifted, 1, 3).reshape(b, ny, nx, f1 * ch)
+        bev = jnp.concatenate([key_bev, shifted], axis=-1)
+        feats = self.bev_backbone(bev, train=False, update_stats=False)
+        x = self.bev_neck(feats, train=False, update_stats=False)
+        if self.cfg.use_radar:
+            radar_bev = self.extract_radar_feat(
+                batch["radar_points"], batch["radar_mask"], train=False
+            )
+            x = self.camf(x, radar_bev, train=False)
+        preds = self.head(x, train=False)
+        return preds, key_bev
+
+    def __call__(self, batch, train=False, with_prev=True):
+        """batch: dict with
+          imgs [B, F, N, H, W, 3], sensor2keyegos [B, F, N, 4, 4],
+          intrins/post_rots [B, F, N, 3, 3], post_trans [B, F, N, 3],
+          bda [B, 3, 3], and (if use_radar) radar_points [B, Nmax, 7] +
+          radar_mask [B, Nmax].
+
+        Returns (head predictions dict NHWC, key-frame depth [B,N,Hf,Wf,D]).
+        """
+        img_bev, depth = self.extract_img_feat(
+            batch["imgs"], batch["sensor2keyegos"], batch["intrins"],
+            batch["post_rots"], batch["post_trans"], batch["bda"],
+            train=train, with_prev=with_prev,
+        )
+        if self.cfg.use_radar:
+            radar_bev = self.extract_radar_feat(
+                batch["radar_points"], batch["radar_mask"], train=train
+            )
+            fused = self.camf(img_bev, radar_bev, train=train)
+        else:
+            fused = img_bev
+        preds = self.head(fused, train=train)
+        return preds, depth

@@ -1,0 +1,306 @@
+"""Shared flax building blocks with torch-matching semantics.
+
+All convolutions use NHWC layout and explicit symmetric padding so the
+arithmetic matches torch's ``padding=N`` exactly (XLA's ``SAME`` pads
+asymmetrically for stride 2 and would silently diverge from reference
+checkpoints).  BatchNorm uses the torch momentum convention: ``running =
+(1 - momentum) * running + momentum * batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the channel (last) axis with torch conventions.
+
+    - ``momentum`` is the torch momentum (weight of the NEW batch stat).
+    - ``update_stats=False`` with ``use_running_average=False`` reproduces
+      the reference's frozen-camera-branch behavior (bevdet_rc.py:570-580):
+      normalize with batch statistics, leave running stats untouched.
+    - ``mask`` restricts batch statistics to valid positions, needed because
+      our fixed-capacity padding would otherwise pollute stats with zeros the
+      reference never sees (its pillar count is dynamic).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average, update_stats=True, mask=None):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                mean = jnp.mean(x32, axis=axes)
+                var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+                count = 1.0
+                for a in axes:
+                    count = count * x.shape[a]
+            else:
+                m = jnp.broadcast_to(
+                    mask.astype(jnp.float32)[..., None], x.shape
+                )
+                count = jnp.maximum(jnp.sum(m, axis=axes), 1.0)
+                mean = jnp.sum(x32 * m, axis=axes) / count
+                var = jnp.sum(jnp.square(x32) * m, axis=axes) / count - jnp.square(mean)
+                count = count[0] if count.ndim else count
+            if update_stats and not self.is_initializing():
+                n = count
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = (x.astype(jnp.float32) - mean) * inv + bias
+        return out.astype(x.dtype)
+
+
+class Conv(nn.Module):
+    """NHWC conv with torch-style integer padding and OIHW-convertible names."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            name="conv",
+        )(x)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv -> BN -> (ReLU) — the mmcv ConvModule default ordering."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    relu: bool = True
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train=False, update_stats=True):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding),) * 2,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+        x = BatchNorm(
+            momentum=self.bn_momentum, epsilon=self.bn_eps, name="bn"
+        )(x, use_running_average=not train, update_stats=update_stats)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """mmdet ResNet BasicBlock: 3x3-BN-ReLU-3x3-BN + residual, final ReLU.
+
+    ``downsample_conv_only=True`` reproduces CustomResNet's raw-conv
+    downsample (reference models/backbones/resnet.py:55-60: a bare nn.Conv2d,
+    no BN).
+    """
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    downsample_conv_only: bool = False
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train=False, update_stats=True):
+        bn = lambda name: BatchNorm(
+            momentum=self.bn_momentum, epsilon=self.bn_eps, name=name
+        )
+        identity = x
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
+        )(x)
+        out = bn("bn1")(out, use_running_average=not train, update_stats=update_stats)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            name="conv2",
+        )(out)
+        out = bn("bn2")(out, use_running_average=not train, update_stats=update_stats)
+        if self.downsample:
+            if self.downsample_conv_only:
+                identity = nn.Conv(
+                    self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=True, name="downsample",
+                )(x)
+            else:
+                identity = nn.Conv(
+                    self.features, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, name="downsample_conv",
+                )(x)
+                identity = bn("downsample_bn")(
+                    identity, use_running_average=not train, update_stats=update_stats
+                )
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """torchvision/mmdet ResNet Bottleneck (pytorch style: stride on conv2)."""
+
+    features: int  # bottleneck width; output is features * 4
+    stride: int = 1
+    downsample: bool = False
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train=False, update_stats=True):
+        bn = lambda name: BatchNorm(
+            momentum=self.bn_momentum, epsilon=self.bn_eps, name=name
+        )
+        identity = x
+        out = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        out = bn("bn1")(out, use_running_average=not train, update_stats=update_stats)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+        )(out)
+        out = bn("bn2")(out, use_running_average=not train, update_stats=update_stats)
+        out = nn.relu(out)
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = bn("bn3")(out, use_running_average=not train, update_stats=update_stats)
+        if self.downsample:
+            identity = nn.Conv(
+                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            identity = bn("downsample_bn")(
+                identity, use_running_average=not train, update_stats=update_stats
+            )
+        return nn.relu(out + identity)
+
+
+class Mlp(nn.Module):
+    """fc1 -> act -> fc2 (timm-style Mlp used by DepthNet and RadarBEVNet)."""
+
+    hidden: int
+    out: int
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.out, name="fc2")(x)
+        return x
+
+
+class SELayer(nn.Module):
+    """Squeeze-excite gate as in BEVDepth's DepthNet (view_transformer.py:459)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, x_se):
+        x_se = nn.Dense(self.channels, name="conv_reduce")(x_se)
+        x_se = nn.relu(x_se)
+        x_se = nn.Dense(self.channels, name="conv_expand")(x_se)
+        return x * jax.nn.sigmoid(x_se)
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, name="ln")(x)
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-compatible attention (batch_first).
+
+    Parameters mirror torch's packed in_proj so checkpoints convert 1:1.
+    ``attn_bias`` is an additive [B * heads, Lq, Lk] (or [B, heads, Lq, Lk])
+    mask — the DMSA distance bias path (radar_encoder.py:225-245).
+    """
+
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k=None, v=None, attn_bias=None, key_padding_mask=None):
+        if k is None:
+            k = q
+        if v is None:
+            v = k
+        d = self.embed_dim
+        h = self.num_heads
+        hd = d // h
+        in_w = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d)
+        )
+        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        qp = q @ in_w[:d].T + in_b[:d]
+        kp = k @ in_w[d : 2 * d].T + in_b[d : 2 * d]
+        vp = v @ in_w[2 * d :].T + in_b[2 * d :]
+
+        b, lq, _ = qp.shape
+        lk = kp.shape[1]
+        qp = qp.reshape(b, lq, h, hd).transpose(0, 2, 1, 3)
+        kp = kp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+        vp = vp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qp, kp) / jnp.sqrt(hd)
+        if attn_bias is not None:
+            if attn_bias.ndim == 3:
+                attn_bias = attn_bias.reshape(b, h, lq, lk)
+            logits = logits + attn_bias
+        if key_padding_mask is not None:
+            # True = padded (torch convention)
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], -jnp.inf, logits
+            )
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.nan_to_num(attn)  # fully-masked rows -> 0
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+        return nn.Dense(d, name="out_proj")(out)

@@ -1,0 +1,111 @@
+"""Training CLI — counterpart of the reference's tools/train.py:127-283.
+
+Usage:
+  python -m rcbevdet_tpu.tools.train <config.py> [--work-dir D]
+      [--cfg-options k=v ...] [--synthetic] [--dry-run] [--resume-from P]
+
+``--synthetic`` swaps the nuScenes dataset for the synthetic pipeline
+(shapes and calibration structure identical) so the full trainer can run in
+environments without data.  ``--dry-run`` runs two steps and exits, printing
+one JSON line of metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train an RCBEVDet-TPU model")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--cfg-options", nargs="*", default=[],
+        help="override config entries: key.sub=value",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from ..builder import build_dataset, build_model
+    from ..config import Config
+    from ..training.runner import Runner
+    from ..training.checkpoint import restore_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+
+    model, mcfg = build_model(cfg)
+
+    if args.synthetic:
+        from ..builder import build_image_aug_config
+        from ..data.synthetic import synthetic_sample
+
+        tcfg = cfg.get("train_cfg", {})
+        _, dataset = synthetic_sample(
+            num_adj=mcfg.num_adj,
+            img_config=build_image_aug_config(cfg),
+            point_cloud_range=mcfg.point_cloud_range,
+            radar_max_num=cfg.data.get("radar_max_num", 1200),
+            grid_size=tuple(tcfg.get("grid_size", (1024, 1024))[:2]),
+            voxel_size=tuple(tcfg.get("voxel_size", (0.1, 0.1))[:2]),
+        )
+    else:
+        dataset = build_dataset(cfg, "train")
+
+    batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 8)
+    max_epochs = 1 if args.dry_run else cfg.runner["max_epochs"]
+    runner = Runner(
+        model, mcfg, dataset,
+        batch_size=batch_size,
+        max_epochs=max_epochs,
+        base_lr=cfg.optimizer["lr"],
+        weight_decay=cfg.optimizer["weight_decay"],
+        grad_clip=cfg.optimizer_config["grad_clip"]["max_norm"],
+        use_cbgs=cfg.data.get("cbgs", True) and not args.synthetic,
+        work_dir=args.work_dir or f"work_dirs/{cfg.filename.split('/')[-1][:-3]}",
+        log_interval=cfg.get("log_interval", 50),
+        checkpoint_interval=cfg.get("checkpoint_interval", 1),
+        temporal_start_epoch=cfg.get("sequential_control", {}).get(
+            "temporal_start_epoch", -1
+        ),
+        seed=args.seed,
+    )
+    if args.resume_from:
+        runner.state = restore_checkpoint(args.resume_from, runner.state)
+
+    if args.dry_run:
+        import jax
+        from ..data.dataset import collate_samples
+        from ..parallel.mesh import shard_batch
+
+        step_fn = runner._get_step(True)
+        batch = collate_samples([dataset[0]] * batch_size)
+        batch.pop("token", None)
+        batch = shard_batch(runner.mesh, batch)
+        for _ in range(2):
+            runner.state, metrics = step_fn(runner.state, batch)
+        out = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        print(json.dumps({"dry_run": True, **{k: round(v, 5) for k, v in out.items()}}))
+        return 0
+
+    runner.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

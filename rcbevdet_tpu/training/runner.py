@@ -1,0 +1,135 @@
+"""Epoch-based training runner with hooks.
+
+The thin Python shell around the jitted train step — the counterpart of
+mmcv's ``EpochBasedRunner`` + hook registrations (reference
+apis/train.py:181-326): epoch loop, CBGS index resampling, cyclic schedules
+(inside the optimizer), EMA (inside the train step), checkpointing (orbax),
+periodic logging, SequentialControl (with_prev toggle at a given epoch),
+eval every N epochs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.dataset import cbgs_indices
+from ..data.loader import PrefetchLoader
+from ..parallel.mesh import create_mesh, replicate, shard_batch
+from .checkpoint import save_checkpoint
+from .train_step import TrainState, create_train_state, make_optimizer, make_train_step
+
+log = logging.getLogger("rcbevdet_tpu")
+
+
+class Runner:
+    def __init__(
+        self,
+        model,
+        model_cfg,
+        dataset,
+        batch_size=8,
+        max_epochs=12,
+        base_lr=1e-4,
+        weight_decay=1e-2,
+        grad_clip=5.0,
+        use_cbgs=True,
+        work_dir="work_dirs/default",
+        log_interval=50,
+        checkpoint_interval=1,
+        temporal_start_epoch=-1,
+        eval_fn: Optional[Callable] = None,
+        eval_interval=4,
+        seed=0,
+        mesh=None,
+        init_variables=None,
+    ):
+        self.model = model
+        self.model_cfg = model_cfg
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_epochs = max_epochs
+        self.work_dir = work_dir
+        self.log_interval = log_interval
+        self.checkpoint_interval = checkpoint_interval
+        self.temporal_start_epoch = temporal_start_epoch
+        self.eval_fn = eval_fn
+        self.eval_interval = eval_interval
+        os.makedirs(work_dir, exist_ok=True)
+
+        self.mesh = mesh or create_mesh()
+        rng = np.random.default_rng(seed)
+        self.indices = (
+            cbgs_indices(dataset, rng) if use_cbgs else list(range(len(dataset)))
+        )
+        self.steps_per_epoch = max(len(self.indices) // batch_size, 1)
+        total_steps = self.steps_per_epoch * max_epochs
+
+        self.loader = PrefetchLoader(
+            dataset, batch_size, indices=self.indices, seed=seed
+        )
+
+        if init_variables is None:
+            sample = dataset[0]
+            from ..data.dataset import collate_samples
+
+            batch = collate_samples([sample] * batch_size)
+            batch.pop("token", None)
+            init_variables = model.init(
+                jax.random.PRNGKey(seed),
+                jax.tree_util.tree_map(lambda x: x[:1], batch),
+                train=False,
+            )
+        self.tx = make_optimizer(
+            base_lr=base_lr, weight_decay=weight_decay, total_steps=total_steps,
+            grad_clip=grad_clip, freeze_img=model_cfg.freeze_img,
+            params=init_variables["params"],
+        )
+        state = create_train_state(model, init_variables, self.tx)
+        self.state = replicate(self.mesh, state)
+
+        self._steps = {}  # with_prev -> jitted step
+
+    def _get_step(self, with_prev: bool):
+        if with_prev not in self._steps:
+            fn = make_train_step(
+                self.model, self.tx, self.model_cfg, with_prev=with_prev
+            )
+            self._steps[with_prev] = jax.jit(fn, donate_argnums=(0,))
+        return self._steps[with_prev]
+
+    def run(self):
+        global_step = 0
+        for epoch in range(self.max_epochs):
+            with_prev = epoch >= self.temporal_start_epoch
+            step_fn = self._get_step(with_prev)
+            t0 = time.time()
+            for it, batch in enumerate(self.loader):
+                batch.pop("token", None)
+                batch = shard_batch(self.mesh, batch)
+                self.state, metrics = step_fn(self.state, batch)
+                global_step += 1
+                if global_step % self.log_interval == 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    dt = (time.time() - t0) / self.log_interval
+                    t0 = time.time()
+                    log.info(
+                        "epoch %d iter %d/%d %.2fs/it %s",
+                        epoch, it, self.steps_per_epoch, dt,
+                        json.dumps({k: round(v, 4) for k, v in m.items()}),
+                    )
+            if (epoch + 1) % self.checkpoint_interval == 0:
+                save_checkpoint(
+                    os.path.join(self.work_dir, f"epoch_{epoch + 1}"),
+                    jax.device_get(self.state),
+                )
+            if self.eval_fn and (epoch + 1) % self.eval_interval == 0:
+                metrics = self.eval_fn(self.state)
+                log.info("eval epoch %d: %s", epoch + 1, json.dumps(metrics))
+        return self.state

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# parity tests compare against torch float32; JAX's "default" matmul
+# precision is reduced (bf16-accumulate) even on CPU.
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,60 @@
+"""Schedules, EMA, optimizer masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcbevdet_tpu.training.ema import ema_decay_schedule, update_ema
+from rcbevdet_tpu.training.schedules import cyclic_lr, cyclic_momentum
+from rcbevdet_tpu.training.train_step import frozen_mask, make_optimizer
+
+
+def test_cyclic_lr_shape():
+    total = 1000
+    lr = cyclic_lr(1e-4, total)
+    assert abs(float(lr(0)) - 1e-4) < 1e-9
+    # peak at 40% of steps: base * 10
+    np.testing.assert_allclose(float(lr(400)), 1e-3, rtol=1e-3)
+    # end anneals toward base * 1e-4
+    assert float(lr(total - 1)) < 1e-6
+    # monotone up then down
+    assert float(lr(200)) > float(lr(0))
+    assert float(lr(800)) < float(lr(400))
+
+
+def test_cyclic_momentum_mirror():
+    total = 1000
+    m = cyclic_momentum(0.9, total)
+    np.testing.assert_allclose(float(m(0)), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(float(m(400)), 0.9 * 0.8947368421052632, rtol=1e-4)
+    np.testing.assert_allclose(float(m(total - 1)), 0.9, rtol=1e-3)
+
+
+def test_ema_ramp():
+    d0 = float(ema_decay_schedule(jnp.asarray(0.0)))
+    d_inf = float(ema_decay_schedule(jnp.asarray(1e9)))
+    assert d0 == 0.0
+    np.testing.assert_allclose(d_inf, 0.999, rtol=1e-6)
+    ema = {"w": jnp.ones(3)}
+    params = {"w": jnp.zeros(3)}
+    out = update_ema(ema, params, jnp.asarray(2000 * 100))
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.999, rtol=1e-5)
+
+
+def test_frozen_mask_and_optimizer():
+    params = {
+        "camera": {"w": jnp.ones((2, 2))},
+        "img_bev_encoder_neck": {"w": jnp.ones(2)},
+        "camf": {"w": jnp.ones(2)},
+    }
+    mask = frozen_mask(params)
+    assert mask["camera"]["w"] is False
+    assert mask["img_bev_encoder_neck"]["w"] is False
+    assert mask["camf"]["w"] is True
+
+    tx = make_optimizer(total_steps=10, freeze_img=True, params=params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["camera"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["camf"]["w"]).sum()) > 0.0
