@@ -69,7 +69,7 @@ def main():
         boxes, scores, prev_bev = step(variables, key_batch, prev_bev, prev_s2k)
     jax.block_until_ready(boxes)
 
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
     t0 = time.perf_counter()
     for _ in range(iters):
         boxes, scores, prev_bev = step(variables, key_batch, prev_bev, prev_s2k)

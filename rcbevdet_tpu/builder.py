@@ -26,6 +26,7 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
         num_adj=m.get("num_adj", 8),
         grid_config=gc,
         aspp_mid_channels=m.get("aspp_mid_channels", 96),
+        depth_net_type=m.get("depth_net_type", "bevdepth"),
         use_radar=m.get("use_radar", True),
         radar_in_channels=m.get("radar_in_channels", 7),
         radar_feat_channels=tuple(m.get("radar_feat_channels", (32, 64))),
@@ -41,6 +42,8 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
         bev_size=m.get("bev_size", 128),
         num_classes=m.get("num_classes", 10),
         freeze_img=m.get("freeze_img", False),
+        with_hop=m.get("with_hop", False),
+        hop_embed_dims=m.get("hop_embed_dims", 160),
     )
 
 
@@ -83,6 +86,7 @@ def build_dataset(cfg: Config, split="train", **overrides) -> NuScenesRCDataset:
         out_size_factor=tcfg.get("out_size_factor", 8),
         max_objs=tcfg.get("max_objs", 500),
         with_depth_gt=(split == "train"),
+        with_hop_targets=(split == "train" and mc.with_hop),
     )
     kwargs.update(overrides)
     return NuScenesRCDataset(**kwargs)

@@ -51,6 +51,7 @@ class NuScenesRCDataset:
         out_size_factor: int = 8,
         max_objs: int = 500,
         with_depth_gt: bool = True,
+        with_hop_targets: bool = False,
         use_valid_flag: bool = True,
         seed: int = 0,
         image_loader=None,
@@ -73,6 +74,7 @@ class NuScenesRCDataset:
         self.out_size_factor = out_size_factor
         self.max_objs = max_objs
         self.with_depth_gt = with_depth_gt
+        self.with_hop_targets = with_hop_targets
         self.rng = np.random.default_rng(seed)
         self.image_loader = image_loader
         self.pcd_loader = pcd_loader
@@ -165,6 +167,35 @@ class NuScenesRCDataset:
         padded_labels[:n] = gt_labels[:n]
         sample["gt_boxes"] = padded_boxes
         sample["gt_labels"] = padded_labels
+
+        # ---- HoP auxiliary targets: frame t-1 GT under the same BDA ----
+        # (reference builds img_meta['adj_gt_3d'] for the history decoder's
+        # reconstruction loss, bevdet.py:1389-1396)
+        if self.with_hop_targets and adj_infos and "ann_infos" in adj_infos[0]:
+            aux_boxes, aux_labels = adj_infos[0]["ann_infos"]
+            aux_boxes = np.asarray(aux_boxes, np.float32).reshape(-1, 9)
+            aux_labels = np.asarray(aux_labels, np.int64).reshape(-1)
+            aux_boxes, _ = transform_boxes_bda(
+                aux_boxes, rot, scale, flip_dx, flip_dy
+            )
+            if len(aux_boxes):
+                pcr = self.pc_range
+                keep = (
+                    (aux_boxes[:, 0] > pcr[0]) & (aux_boxes[:, 0] < pcr[3])
+                    & (aux_boxes[:, 1] > pcr[1]) & (aux_boxes[:, 1] < pcr[4])
+                )
+                aux_boxes, aux_labels = aux_boxes[keep], aux_labels[keep]
+                aux_boxes[:, 6] = limit_period(aux_boxes[:, 6], 0.5, 2 * np.pi)
+            aux_t = centerpoint_targets_single(
+                aux_boxes, aux_labels, num_classes=len(self.classes),
+                grid_size=self.grid_size, point_cloud_range=self.pc_range,
+                voxel_size=self.voxel_size,
+                out_size_factor=self.out_size_factor, max_objs=self.max_objs,
+            )
+            sample["aux_heatmap_t"] = aux_t.heatmap
+            sample["aux_anno_box_t"] = aux_t.anno_box
+            sample["aux_inds_t"] = aux_t.inds.astype(np.int32)
+            sample["aux_mask_t"] = aux_t.mask
 
         # ---- radar ----
         if "radars" in info:

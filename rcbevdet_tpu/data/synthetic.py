@@ -28,7 +28,7 @@ def _rand_quat(rng):
 
 
 def synthetic_info(rng, scene_token="scene0", timestamp=0, src_size=(900, 1600),
-                   num_objs=12, num_radar_pts=120):
+                   num_objs=12, num_radar_pts=120, box_range=40.0):
     """One fake info dict with the keys the RC pipeline consumes."""
     cams = {}
     for cam in NUSC_CAM_NAMES:
@@ -57,7 +57,7 @@ def synthetic_info(rng, scene_token="scene0", timestamp=0, src_size=(900, 1600),
     boxes = []
     labels = []
     for _ in range(num_objs):
-        xy = rng.uniform(-40, 40, 2)
+        xy = rng.uniform(-box_range, box_range, 2)
         boxes.append(
             np.array(
                 [xy[0], xy[1], rng.uniform(-1, 1), *rng.uniform(0.5, 4, 3),
@@ -123,7 +123,11 @@ def synthetic_sample(rng=None, img_config=None, num_adj=8, is_train=True,
     rng = rng or np.random.default_rng(0)
     img_config = img_config or ImageAugConfig()
     n = num_samples or (num_adj + 2)
-    infos = [synthetic_info(rng, timestamp=t) for t in range(n)]
+    pcr = dataset_kwargs.get("point_cloud_range", (-51.2,) * 3 + (51.2,) * 3)
+    box_range = 0.8 * pcr[3]
+    infos = [
+        synthetic_info(rng, timestamp=t, box_range=box_range) for t in range(n)
+    ]
     img_l, pcd_l, lidar_l = synthetic_loaders(rng, img_config.src_size)
     ds = NuScenesRCDataset(
         infos, img_config=img_config, is_train=is_train,

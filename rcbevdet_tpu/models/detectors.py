@@ -63,6 +63,7 @@ class RCBEVDetConfig:
         }
     )
     aspp_mid_channels: int = 96
+    depth_net_type: str = "bevdepth"  # 'simple' -> BEVDet/BEVDet4D family
     # radar branch
     use_radar: bool = True
     radar_in_channels: int = 7
@@ -82,6 +83,9 @@ class RCBEVDetConfig:
     num_classes: int = 10
     # training-time behavior
     freeze_img: bool = True
+    # HoP auxiliary supervision (reference HoPBEVDepth4D, bevdet.py:1450)
+    with_hop: bool = False
+    hop_embed_dims: int = 160
 
     @property
     def num_frames(self):
@@ -119,6 +123,7 @@ class CameraBEVBranch(nn.Module):
             out_channels=c.num_trans_channels,
             downsample=c.downsample,
             aspp_mid_channels=c.aspp_mid_channels,
+            depth_net_type=c.depth_net_type,
             name="img_view_transformer",
         )(x, sensor2keyegos, intrins, post_rots, post_trans, bda,
           train=train, update_stats=update_stats)
@@ -181,6 +186,19 @@ class RCBEVDet(nn.Module):
         self.head = CenterHead(
             in_channels=c.imc, num_classes=c.num_classes, name="pts_bbox_head"
         )
+        if c.with_hop:
+            from .hop import HoPTemporalPredictor
+
+            self.history_decoder = HoPTemporalPredictor(
+                in_channels=c.num_trans_channels,
+                embed_dims=c.hop_embed_dims,
+                out_channels=c.imc,
+                name="history_decoder",
+            )
+            self.aux_bbox_head = CenterHead(
+                in_channels=c.imc, num_classes=c.num_classes,
+                name="aux_bbox_head",
+            )
 
     def extract_img_feat(self, imgs, sensor2keyegos, intrins, post_rots,
                          post_trans, bda, train, with_prev=True):
@@ -212,16 +230,20 @@ class RCBEVDet(nn.Module):
             )
             adj_bev, _ = self.camera(*adj, train=train, update_stats=cam_stats)
             ny, nx, ch = adj_bev.shape[1:]
-            adj_bev = adj_bev.reshape(b, f - 1, ny, nx, ch)
+            adj_frames = adj_bev.reshape(b, f - 1, ny, nx, ch)
             if not with_prev:
-                adj_bev = jnp.zeros_like(adj_bev)
-            adj_bev = jnp.moveaxis(adj_bev, 1, 3).reshape(b, ny, nx, (f - 1) * ch)
+                adj_frames = jnp.zeros_like(adj_frames)
+            adj_bev = jnp.moveaxis(adj_frames, 1, 3).reshape(
+                b, ny, nx, (f - 1) * ch
+            )
             bev = jnp.concatenate([key_bev, adj_bev], axis=-1)
+            frames = jnp.concatenate([key_bev[:, None], adj_frames], axis=1)
         else:
             bev = key_bev
+            frames = key_bev[:, None]
         feats = self.bev_backbone(bev, train=train, update_stats=cam_stats)
         x = self.bev_neck(feats, train=train, update_stats=cam_stats)
-        return x, key_depth
+        return x, key_depth, frames
 
     def extract_radar_feat(self, radar_points, radar_mask, train):
         """radar_points [B, Nmax, 7]; radar_mask [B, Nmax]."""
@@ -309,9 +331,11 @@ class RCBEVDet(nn.Module):
           bda [B, 3, 3], and (if use_radar) radar_points [B, Nmax, 7] +
           radar_mask [B, Nmax].
 
-        Returns (head predictions dict NHWC, key-frame depth [B,N,Hf,Wf,D]).
+        Returns (head predictions dict NHWC, key-frame depth [B,N,Hf,Wf,D]);
+        with cfg.with_hop and train=True, additionally returns the HoP
+        auxiliary head predictions for the reconstructed t-1 frame.
         """
-        img_bev, depth = self.extract_img_feat(
+        img_bev, depth, frames = self.extract_img_feat(
             batch["imgs"], batch["sensor2keyegos"], batch["intrins"],
             batch["post_rots"], batch["post_trans"], batch["bda"],
             train=train, with_prev=with_prev,
@@ -324,4 +348,12 @@ class RCBEVDet(nn.Module):
         else:
             fused = img_bev
         preds = self.head(fused, train=train)
+        if self.cfg.with_hop and frames.shape[1] > 2 and (
+            train or self.is_initializing()
+        ):
+            # reconstruct frame t-1 from [t, t-2, ...] (bevdet.py:1396)
+            wo_tm1 = jnp.concatenate([frames[:, :1], frames[:, 2:]], axis=1)
+            recon = self.history_decoder(wo_tm1)
+            aux_preds = self.aux_bbox_head(recon, train=train)
+            return preds, depth, aux_preds
         return preds, depth

@@ -181,6 +181,13 @@ class LSSViewTransformerBEVDepth(nn.Module):
 
     grid_config keys x/y/z/depth as (lo, hi, step); input NHWC image feature
     of shape [B, N, Hf, Wf, C].
+
+    depth_net_type:
+      - 'bevdepth': camera-aware DepthNet (SE + ASPP) — BEVDepth lineage
+        (reference view_transformer.py:475-635).
+      - 'simple': a single 1x1 conv emitting D + C channels — the plain
+        BEVDet view transformer (reference view_transformer.py:60-62),
+        giving the BEVDet/BEVDet4D family without depth supervision.
     """
 
     grid_config: Any
@@ -190,6 +197,7 @@ class LSSViewTransformerBEVDepth(nn.Module):
     downsample: int = 16
     loss_depth_weight: float = 3.0
     aspp_mid_channels: int = 96
+    depth_net_type: str = "bevdepth"
 
     @property
     def depth_bins(self):
@@ -210,14 +218,22 @@ class LSSViewTransformerBEVDepth(nn.Module):
     ):
         b, n, hf, wf, c = x.shape
         num_d = self.depth_bins
-        mlp_input = depth_mlp_input(sensor2ego, intrins, post_rots, post_trans, bda)
-        y = DepthNet(
-            mid_channels=self.in_channels,
-            context_channels=self.out_channels,
-            depth_channels=num_d,
-            aspp_mid_channels=self.aspp_mid_channels,
-            name="depth_net",
-        )(x.reshape(b * n, hf, wf, c), mlp_input, train=train, update_stats=update_stats)
+        if self.depth_net_type == "simple":
+            y = nn.Conv(
+                num_d + self.out_channels, (1, 1), name="depth_net_simple"
+            )(x.reshape(b * n, hf, wf, c))
+        else:
+            mlp_input = depth_mlp_input(
+                sensor2ego, intrins, post_rots, post_trans, bda
+            )
+            y = DepthNet(
+                mid_channels=self.in_channels,
+                context_channels=self.out_channels,
+                depth_channels=num_d,
+                aspp_mid_channels=self.aspp_mid_channels,
+                name="depth_net",
+            )(x.reshape(b * n, hf, wf, c), mlp_input,
+              train=train, update_stats=update_stats)
         depth_digit = y[..., :num_d]
         tran_feat = y[..., num_d : num_d + self.out_channels]
         depth = jax.nn.softmax(depth_digit, axis=-1)  # [B*N, Hf, Wf, D]

@@ -105,10 +105,11 @@ def make_train_step(
     """Build the jittable train step for an RCBEVDet-style model."""
 
     def loss_fn(params, batch_stats, batch):
-        (preds, depth), updates = model.apply(
+        outputs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch, train=True, with_prev=with_prev, mutable=["batch_stats"],
         )
+        preds, depth = outputs[0], outputs[1]
         losses = centerpoint_loss(
             preds, batch["heatmap_t"], batch["anno_box_t"],
             batch["inds_t"], batch["mask_t"],
@@ -118,6 +119,15 @@ def make_train_step(
                 batch["gt_depth"], depth, cfg.downsample,
                 cfg.grid_config["depth"], weight=loss_depth_weight,
             )
+        if len(outputs) > 2 and "aux_heatmap_t" in batch:
+            # HoP auxiliary losses at the reference's 0.5x weights
+            # (det-...-withHoP-...py:213-215: cls 1.0*0.5, bbox 0.25*0.5)
+            aux = centerpoint_loss(
+                outputs[2], batch["aux_heatmap_t"], batch["aux_anno_box_t"],
+                batch["aux_inds_t"], batch["aux_mask_t"],
+                cls_weight=0.5, bbox_weight=0.125,
+            )
+            losses.update({f"aux_{k}": v for k, v in aux.items()})
         total = sum(losses.values())
         return total, (losses, updates["batch_stats"])
 

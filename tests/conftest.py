@@ -2,20 +2,20 @@
 multi-chip sharding (pjit/shard_map over a Mesh) is exercised without TPU
 hardware — JAX's standard recipe for testing collectives.
 
-Must run before jax initializes its backends, hence env vars at import time.
+NOTE: this environment pre-imports jax at interpreter startup (an axon TPU
+plugin registers via sitecustomize) with JAX_PLATFORMS=axon, so env vars set
+here are too late — use jax.config.update, which takes effect because
+backends aren't initialized until first use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests spawn
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # parity tests compare against torch float32; JAX's "default" matmul
 # precision is reduced (bf16-accumulate) even on CPU.
 jax.config.update("jax_default_matmul_precision", "float32")
