@@ -44,6 +44,7 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
         freeze_img=m.get("freeze_img", False),
         with_hop=m.get("with_hop", False),
         hop_embed_dims=m.get("hop_embed_dims", 160),
+        stereo=m.get("stereo", False),
     )
 
 
@@ -87,6 +88,7 @@ def build_dataset(cfg: Config, split="train", **overrides) -> NuScenesRCDataset:
         max_objs=tcfg.get("max_objs", 500),
         with_depth_gt=(split == "train"),
         with_hop_targets=(split == "train" and mc.with_hop),
+        stereo=mc.stereo,
     )
     kwargs.update(overrides)
     return NuScenesRCDataset(**kwargs)

@@ -52,6 +52,7 @@ class NuScenesRCDataset:
         max_objs: int = 500,
         with_depth_gt: bool = True,
         with_hop_targets: bool = False,
+        stereo: bool = False,
         use_valid_flag: bool = True,
         seed: int = 0,
         image_loader=None,
@@ -62,6 +63,11 @@ class NuScenesRCDataset:
         self.classes = list(classes)
         self.is_train = is_train
         self.adj_ids = list(multi_adj_frame_ids)
+        self.stereo = stereo
+        if stereo and self.adj_ids:
+            # one extra reference frame for the temporal-stereo cost volume
+            # (reference get_adj_info appends it, nuscenes_dataset_rc.py:332-335)
+            self.adj_ids = self.adj_ids + [self.adj_ids[-1] + 1]
         self.radar_sweeps = radar_sweeps
         self.radar_max_num = radar_max_num
         self.pc_range = point_cloud_range
@@ -130,6 +136,14 @@ class NuScenesRCDataset:
             info, adj_infos, self.img_config, self.is_train, self.rng,
             image_loader=self.image_loader,
         )
+        if self.stereo:
+            # current-sensor -> next-older-sensor chains, float64 on host
+            # (reference prepare_inputs stereo branch, bevdet_rc.py:711-728)
+            s2e = sample["sensor2egos"].astype(np.float64)
+            e2g = sample["ego2globals"].astype(np.float64)
+            cam2glob = e2g @ s2e  # [F, N, 4, 4]
+            k2s = np.linalg.inv(cam2glob[1:]) @ cam2glob[:-1]
+            sample["k2s_sensor"] = k2s.astype(np.float32)
 
         # ---- annotations + BDA ----
         gt_boxes, gt_labels = info["ann_infos"]

@@ -86,6 +86,10 @@ class RCBEVDetConfig:
     # HoP auxiliary supervision (reference HoPBEVDepth4D, bevdet.py:1450)
     with_hop: bool = False
     hop_embed_dims: int = 160
+    # BEVStereo temporal-stereo cost volume (reference BEVStereo4D,
+    # bevdet.py:1012 / BEVStereo4D_RC, bevdet_rc.py:865); requires one extra
+    # reference frame in the inputs and k2s_sensor transforms.
+    stereo: bool = False
 
     @property
     def num_frames(self):
@@ -98,25 +102,25 @@ class RCBEVDetConfig:
 
 class CameraBEVBranch(nn.Module):
     """ResNet -> CustomFPN -> DepthNet/LSS -> pre_process, for a set of
-    frames flattened into the batch dim."""
+    frames flattened into the batch dim.
+
+    With ``cfg.stereo`` the backbone also emits the stride-4 stage-1 feature
+    (the stereo matching feature, reference
+    BEVStereo4D.extract_stereo_ref_feat, bevdet_rc.py:872-900) and the view
+    transformer consumes a plane-sweep cost volume."""
 
     cfg: RCBEVDetConfig
 
-    @nn.compact
-    def __call__(self, imgs, sensor2keyegos, intrins, post_rots, post_trans,
-                 bda, train=False, update_stats=True):
-        """imgs: [B, N, H, W, 3]; geometry per camera. Returns (bev, depth)."""
+    def setup(self):
         c = self.cfg
-        b, n, h, w, _ = imgs.shape
-        x = ResNet(depth=c.resnet_depth, out_indices=(2, 3), name="img_backbone")(
-            imgs.reshape(b * n, h, w, 3), train=train, update_stats=update_stats
+        out_idx = (0, 2, 3) if c.stereo else (2, 3)
+        self.img_backbone = ResNet(
+            depth=c.resnet_depth, out_indices=out_idx, name="img_backbone"
         )
-        x = CustomFPN(out_channels=c.img_neck_channels, name="img_neck")(
-            x, train=train, update_stats=update_stats
-        )[0]
-        hf, wf = x.shape[1:3]
-        x = x.reshape(b, n, hf, wf, c.img_neck_channels)
-        bev, depth = LSSViewTransformerBEVDepth(
+        self.img_neck = CustomFPN(
+            out_channels=c.img_neck_channels, name="img_neck"
+        )
+        self.img_view_transformer = LSSViewTransformerBEVDepth(
             grid_config=c.grid_config,
             input_size=c.input_size,
             in_channels=c.img_neck_channels,
@@ -124,13 +128,41 @@ class CameraBEVBranch(nn.Module):
             downsample=c.downsample,
             aspp_mid_channels=c.aspp_mid_channels,
             depth_net_type=c.depth_net_type,
+            stereo=c.stereo,
             name="img_view_transformer",
-        )(x, sensor2keyegos, intrins, post_rots, post_trans, bda,
-          train=train, update_stats=update_stats)
-        bev = CustomResNet(
+        )
+        self.pre_process = CustomResNet(
             num_layer=(2,), num_channels=(c.num_trans_channels,), stride=(1,),
             backbone_output_ids=(0,), name="pre_process",
-        )(bev, train=train, update_stats=update_stats)[0]
+        )
+
+    def stereo_feat(self, imgs, train=False):
+        """Stem + stage-1 feature at stride 4, [B, N, H/4, W/4, C4]."""
+        b, n, h, w, _ = imgs.shape
+        outs = self.img_backbone(
+            imgs.reshape(b * n, h, w, 3), train=train, update_stats=False
+        )
+        s = outs[0]
+        return s.reshape(b, n, *s.shape[1:])
+
+    def __call__(self, imgs, sensor2keyegos, intrins, post_rots, post_trans,
+                 bda, cost_volume=None, train=False, update_stats=True):
+        """imgs: [B, N, H, W, 3]; geometry per camera. Returns (bev, depth)."""
+        c = self.cfg
+        b, n, h, w, _ = imgs.shape
+        x = self.img_backbone(
+            imgs.reshape(b * n, h, w, 3), train=train, update_stats=update_stats
+        )
+        if c.stereo:
+            x = x[1:]
+        x = self.img_neck(x, train=train, update_stats=update_stats)[0]
+        hf, wf = x.shape[1:3]
+        x = x.reshape(b, n, hf, wf, c.img_neck_channels)
+        bev, depth = self.img_view_transformer(
+            x, sensor2keyegos, intrins, post_rots, post_trans, bda,
+            cost_volume=cost_volume, train=train, update_stats=update_stats,
+        )
+        bev = self.pre_process(bev, train=train, update_stats=update_stats)[0]
         return bev, depth
 
 
@@ -200,20 +232,91 @@ class RCBEVDet(nn.Module):
                 name="aux_bbox_head",
             )
 
+    def _stereo_cost_volumes(self, imgs, k2s_sensor, intrins, post_rots,
+                             post_trans, train):
+        """Plane-sweep cost volumes for every BEV frame.
+
+        imgs: [B, F_total, N, H, W, 3] where the LAST frame is the extra
+        stereo reference (reference BEVStereo4D.extract_img_feat processes
+        frames oldest-first, passing each frame's stage-1 feature to the
+        next, bevdet_rc.py:925-995); k2s_sensor: [B, F_total-1, N, 4, 4]
+        current->next-older sensor transforms.
+
+        Returns [B, F_total-1, N, H4, W4, D] cost volumes (no gradients —
+        the reference computes them under no_grad).
+        """
+        from .view_transformer import (
+            create_frustum, stereo_cost_volume, stereo_sample_grid,
+        )
+
+        c = self.cfg
+        b, ft, n, h, w, _ = imgs.shape
+        imgs_ng = jax.lax.stop_gradient(imgs)
+        sfeat = self.camera.stereo_feat(
+            imgs_ng.reshape(b * ft, n, h, w, 3), train=train
+        )  # [B*Ft, N, H4, W4, C4]
+        h4, w4, c4 = sfeat.shape[2:]
+        sfeat = sfeat.reshape(b, ft, n, h4, w4, c4)
+
+        frustum_cv = create_frustum(
+            c.grid_config["depth"], c.input_size, 4
+        )  # [D, H4, W4, 3]
+        num_d = frustum_cv.shape[0]
+        fb = ft - 1  # number of BEV frames
+        grid = stereo_sample_grid(
+            frustum_cv,
+            k2s_sensor.reshape(b * fb, n, 4, 4),
+            intrins[:, :fb].reshape(b * fb, n, 3, 3),
+            post_rots[:, :fb].reshape(b * fb, n, 3, 3),
+            post_trans[:, :fb].reshape(b * fb, n, 3),
+            h, w,
+        )  # [B*fb, N, D, H4, W4, 2]
+        curr = sfeat[:, :fb].reshape(b * fb * n, h4, w4, c4)
+        prev = sfeat[:, 1:].reshape(b * fb * n, h4, w4, c4)
+        cv = stereo_cost_volume(
+            prev, curr, grid.reshape(b * fb * n, num_d, h4, w4, 2)
+        )  # [B*fb*N, H4, W4, D]
+        return jax.lax.stop_gradient(
+            cv.reshape(b, fb, n, h4, w4, num_d)
+        )
+
     def extract_img_feat(self, imgs, sensor2keyegos, intrins, post_rots,
-                         post_trans, bda, train, with_prev=True):
-        """imgs [B, F, N, H, W, 3] (frame 0 = key). Returns (bev, key depth)."""
+                         post_trans, bda, train, with_prev=True,
+                         k2s_sensor=None):
+        """imgs [B, F, N, H, W, 3] (frame 0 = key; with cfg.stereo the last
+        frame is an extra stereo reference that contributes no BEV).
+        Returns (bev, key depth, per-frame BEVs)."""
         c = self.cfg
         b, f, n, h, w, _ = imgs.shape
+
+        cost_volumes = None
+        if c.stereo:
+            cost_volumes = self._stereo_cost_volumes(
+                imgs, k2s_sensor, intrins, post_rots, post_trans, train
+            )
+            f = f - 1  # the extra ref frame contributes no BEV
+            imgs = imgs[:, :f]
+            sensor2keyegos = sensor2keyegos[:, :f]
+            intrins = intrins[:, :f]
+            post_rots = post_rots[:, :f]
+            post_trans = post_trans[:, :f]
         # Frozen camera branch: BN normalizes with BATCH stats during fusion
         # training but running stats stay untouched (reference
         # bevdet_rc.py:570-580 sets track_running_stats=False); eval uses the
         # pretrained running stats as usual.
         cam_stats = train and not c.freeze_img
 
+        cv_key = None
+        cv_adj = None
+        if cost_volumes is not None:
+            h4, w4, num_d = cost_volumes.shape[3:]
+            cv_key = cost_volumes[:, 0].reshape(b * n, h4, w4, num_d)
+            cv_adj = cost_volumes[:, 1:].reshape(b * (f - 1) * n, h4, w4, num_d)
+
         key_bev, key_depth = self.camera(
             imgs[:, 0], sensor2keyegos[:, 0], intrins[:, 0], post_rots[:, 0],
-            post_trans[:, 0], bda, train=train, update_stats=cam_stats,
+            post_trans[:, 0], bda, cost_volume=cv_key,
+            train=train, update_stats=cam_stats,
         )
         bev_list = [key_bev]
         if f > 1:
@@ -228,7 +331,9 @@ class RCBEVDet(nn.Module):
                     jnp.repeat(bda, f - 1, axis=0),
                 ),
             )
-            adj_bev, _ = self.camera(*adj, train=train, update_stats=cam_stats)
+            adj_bev, _ = self.camera(
+                *adj, cost_volume=cv_adj, train=train, update_stats=cam_stats
+            )
             ny, nx, ch = adj_bev.shape[1:]
             adj_frames = adj_bev.reshape(b, f - 1, ny, nx, ch)
             if not with_prev:
@@ -339,6 +444,7 @@ class RCBEVDet(nn.Module):
             batch["imgs"], batch["sensor2keyegos"], batch["intrins"],
             batch["post_rots"], batch["post_trans"], batch["bda"],
             train=train, with_prev=with_prev,
+            k2s_sensor=batch.get("k2s_sensor"),
         )
         if self.cfg.use_radar:
             radar_bev = self.extract_radar_feat(

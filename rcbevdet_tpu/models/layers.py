@@ -146,6 +146,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     downsample_conv_only: bool = False
+    downsample_kernel: int = 3
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
 
@@ -168,9 +169,11 @@ class BasicBlock(nn.Module):
         out = bn("bn2")(out, use_running_average=not train, update_stats=update_stats)
         if self.downsample:
             if self.downsample_conv_only:
+                k = self.downsample_kernel
                 identity = nn.Conv(
-                    self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=True, name="downsample",
+                    self.features, (k, k), strides=(self.stride, self.stride),
+                    padding=((k // 2, k // 2),) * 2, use_bias=True,
+                    name="downsample",
                 )(x)
             else:
                 identity = nn.Conv(

@@ -134,9 +134,11 @@ class DepthNet(nn.Module):
     depth_channels: int
     aspp_mid_channels: int = 96
     use_aspp: bool = True
+    stereo: bool = False
 
     @nn.compact
-    def __call__(self, x, mlp_input, train=False, update_stats=True):
+    def __call__(self, x, mlp_input, cost_volume=None, train=False,
+                 update_stats=True):
         # BN over the 27 camera params (view_transformer.py:497,609)
         mlp_input = BatchNorm(name="param_bn")(
             mlp_input.reshape(-1, mlp_input.shape[-1]),
@@ -163,9 +165,28 @@ class DepthNet(nn.Module):
             mlp_input
         )[:, None, None, :]
         depth = SELayer(self.mid_channels, name="depth_se")(x, dep_se)
+        if self.stereo:
+            # cost volume arrives at 4x the feature stride; two stride-2
+            # conv-BNs bring it down, then it concatenates into the depth
+            # branch whose first block gets a 1x1 downsample shortcut
+            # (reference view_transformer.py:505-516, 617-630)
+            cv = cost_volume
+            for i in range(2):
+                cv = nn.Conv(
+                    self.depth_channels, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), name=f"cv_conv{i}",
+                )(cv)
+                cv = BatchNorm(name=f"cv_bn{i}")(
+                    cv, use_running_average=not train, update_stats=update_stats
+                )
+            depth = jnp.concatenate([depth, cv], axis=-1)
         for i in range(3):
             depth = BasicBlock(
-                features=self.mid_channels, name=f"depth_block{i}"
+                features=self.mid_channels,
+                downsample=(i == 0 and self.stereo),
+                downsample_conv_only=True,  # 1x1 conv, no BN (ref :507-508)
+                downsample_kernel=1,
+                name=f"depth_block{i}",
             )(depth, train=train, update_stats=update_stats)
         if self.use_aspp:
             depth = ASPP(
@@ -174,6 +195,73 @@ class DepthNet(nn.Module):
             )(depth, train=train, update_stats=update_stats)
         depth = nn.Conv(self.depth_channels, (1, 1), name="depth_pred")(depth)
         return jnp.concatenate([depth, context], axis=-1)
+
+
+def stereo_sample_grid(frustum_cv, k2s_sensor, intrins, post_rots, post_trans,
+                       img_h, img_w):
+    """Sampling grid projecting the CURRENT frame's depth-hypothesis frustum
+    into the PREVIOUS frame's image (reference DepthNet.gen_grid,
+    view_transformer.py:548-576).
+
+    Args:
+      frustum_cv: [D, H4, W4, 3] (u, v, d) at the cost-volume stride.
+      k2s_sensor: [B, N, 4, 4] current-sensor -> previous-sensor transform.
+      intrins/post_rots: [B, N, 3, 3]; post_trans: [B, N, 3].
+      img_h, img_w: image size at the stereo-feature stride * 4 (the
+        reference normalizes against 4x the stereo feature size).
+
+    Returns:
+      grid: [B, N, D, H4, W4, 2] normalized [-1, 1] sample locations with
+        invalid (behind-camera) points pushed to -2.
+    """
+    b, n = k2s_sensor.shape[:2]
+    points = frustum_cv[None, None] - post_trans[:, :, None, None, None, :]
+    inv_post = jnp.linalg.inv(post_rots)
+    points = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, points)
+    points = jnp.concatenate(
+        [points[..., :2] * points[..., 2:3], points[..., 2:3]], axis=-1
+    )
+    combine = k2s_sensor[:, :, :3, :3] @ jnp.linalg.inv(intrins)
+    points = jnp.einsum("bnij,bndhwj->bndhwi", combine, points)
+    points = points + k2s_sensor[:, :, None, None, None, :3, 3]
+    neg_mask = points[..., 2] < 1e-3
+    points = jnp.einsum("bnij,bndhwj->bndhwi", intrins, points)
+    uv = points[..., :2] / points[..., 2:3]
+    uv = jnp.einsum("bnij,bndhwj->bndhwi", post_rots[..., :2, :2], uv)
+    uv = uv + post_trans[:, :, None, None, None, :2]
+    px = uv[..., 0] / (img_w - 1.0) * 2.0 - 1.0
+    py = uv[..., 1] / (img_h - 1.0) * 2.0 - 1.0
+    px = jnp.where(neg_mask, -2.0, px)
+    py = jnp.where(neg_mask, -2.0, py)
+    return jnp.stack([px, py], axis=-1)
+
+
+def stereo_cost_volume(prev_feat, curr_feat, grid, group_size=4, bias=0.0):
+    """Group-wise absolute-difference plane-sweep cost volume
+    (reference DepthNet.calculate_cost_volumn, view_transformer.py:578-606).
+
+    Args:
+      prev_feat/curr_feat: [BN, H4, W4, C] stereo features.
+      grid: [BN, D, H4, W4, 2] normalized sample grid into prev_feat.
+
+    Returns:
+      [BN, H4, W4, D] softmaxed cost volume.
+    """
+    from ..ops.warp import grid_sample_2d
+
+    bn, h4, w4, c = curr_feat.shape
+    d = grid.shape[1]
+    warp = jax.vmap(
+        lambda f, g: grid_sample_2d(f, g, align_corners=True)
+    )(prev_feat, grid)  # [BN, D, H4, W4, C]
+    diff = jnp.abs(curr_feat[:, None] - warp)
+    cost = jnp.sum(diff, axis=-1)  # groups sum to the same total
+    if bias != 0.0:
+        invalid = warp[..., 0] == 0.0
+        cost = cost + bias * invalid.astype(cost.dtype)
+    cost = -cost
+    cost = jax.nn.softmax(cost, axis=1)  # over depth hypotheses
+    return jnp.moveaxis(cost, 1, -1)  # [BN, H4, W4, D]
 
 
 class LSSViewTransformerBEVDepth(nn.Module):
@@ -198,6 +286,7 @@ class LSSViewTransformerBEVDepth(nn.Module):
     loss_depth_weight: float = 3.0
     aspp_mid_channels: int = 96
     depth_net_type: str = "bevdepth"
+    stereo: bool = False
 
     @property
     def depth_bins(self):
@@ -214,7 +303,7 @@ class LSSViewTransformerBEVDepth(nn.Module):
     @nn.compact
     def __call__(
         self, x, sensor2ego, intrins, post_rots, post_trans, bda,
-        train=False, update_stats=True,
+        cost_volume=None, train=False, update_stats=True,
     ):
         b, n, hf, wf, c = x.shape
         num_d = self.depth_bins
@@ -231,9 +320,10 @@ class LSSViewTransformerBEVDepth(nn.Module):
                 context_channels=self.out_channels,
                 depth_channels=num_d,
                 aspp_mid_channels=self.aspp_mid_channels,
+                stereo=self.stereo,
                 name="depth_net",
             )(x.reshape(b * n, hf, wf, c), mlp_input,
-              train=train, update_stats=update_stats)
+              cost_volume=cost_volume, train=train, update_stats=update_stats)
         depth_digit = y[..., :num_d]
         tran_feat = y[..., num_d : num_d + self.out_channels]
         depth = jax.nn.softmax(depth_digit, axis=-1)  # [B*N, Hf, Wf, D]

@@ -64,6 +64,7 @@ def main(argv=None):
             radar_max_num=cfg.data.get("radar_max_num", 1200),
             grid_size=tuple(tcfg.get("grid_size", (1024, 1024))[:2]),
             voxel_size=tuple(tcfg.get("voxel_size", (0.1, 0.1))[:2]),
+            stereo=mcfg.stereo,
         )
     else:
         dataset = build_dataset(cfg, "test")

@@ -64,6 +64,7 @@ def main(argv=None):
             grid_size=tuple(tcfg.get("grid_size", (1024, 1024))[:2]),
             voxel_size=tuple(tcfg.get("voxel_size", (0.1, 0.1))[:2]),
             with_hop_targets=mcfg.with_hop,
+            stereo=mcfg.stereo,
         )
     else:
         dataset = build_dataset(cfg, "train")
