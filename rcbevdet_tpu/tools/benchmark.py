@@ -1,0 +1,118 @@
+"""Inference FPS benchmark CLI.
+
+Counterpart of the reference's tools/analysis_tools/benchmark_sequential.py
+(the deployment-style semantics: cached previous BEV + key-frame-only
+compute, SURVEY.md §3.4) and benchmark.py (full forward).  ``bench.py`` at
+the repo root is the driver-facing one-line-JSON wrapper around the same
+measurement.
+
+Usage:
+  python -m rcbevdet_tpu.tools.benchmark <config.py> [--mode sequential|full]
+      [--iters 100] [--flops]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--mode", choices=["sequential", "full"], default="sequential")
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--flops", action="store_true", help="print XLA cost analysis")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..builder import build_model
+    from ..config import Config
+    from ..inference import decode_predictions
+    from ..models.detectors import RCBEVDet
+    from ..utils.profiling import flops_of
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _example_batch
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+    model, mcfg = build_model(cfg)
+    rng = np.random.default_rng(0)
+    full = _example_batch(mcfg, b=1, rng=rng)
+    variables = model.init(jax.random.PRNGKey(0), full, train=False)
+
+    if args.mode == "full":
+        @jax.jit
+        def step(variables, batch):
+            preds, _ = model.apply(variables, batch, train=False)
+            return decode_predictions(preds)
+
+        fn = lambda: step(variables, full)
+    else:
+        key_batch = {
+            k: (v[:, 0:1] if k in ("imgs", "sensor2keyegos", "intrins",
+                                   "post_rots", "post_trans") else v)
+            for k, v in full.items()
+        }
+        ny = nx = mcfg.bev_size
+        prev_bev = jnp.zeros(
+            (1, mcfg.num_adj, ny, nx, mcfg.num_trans_channels), jnp.float32
+        )
+        prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
+
+        @jax.jit
+        def step(variables, batch, prev_bev, prev_s2k):
+            preds, key_bev = model.apply(
+                variables, batch, prev_bev, prev_s2k,
+                method=RCBEVDet.forward_cached,
+            )
+            return decode_predictions(preds), key_bev
+
+        fn = lambda: step(variables, key_batch, prev_bev, prev_s2k)
+
+    out = fn()
+    jax.block_until_ready(out)
+    for _ in range(args.warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    result = dict(
+        mode=args.mode,
+        fps=round(args.iters / dt, 2),
+        ms_per_frame=round(1000 * dt / args.iters, 3),
+        backend=jax.default_backend(),
+    )
+    if args.flops:
+        if args.mode == "full":
+            cost = flops_of(
+                lambda v, b: model.apply(v, b, train=False), variables, full
+            )
+        else:
+            cost = flops_of(
+                lambda v, b, pb, ps: model.apply(
+                    v, b, pb, ps, method=RCBEVDet.forward_cached
+                ),
+                variables, key_batch, prev_bev, prev_s2k,
+            )
+        result["gflops"] = round(cost["flops"] / 1e9, 2)
+        result["gbytes"] = round(cost["bytes_accessed"] / 1e9, 3)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

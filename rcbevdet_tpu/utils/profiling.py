@@ -1,0 +1,60 @@
+"""Profiling and cost-analysis utilities.
+
+The reference measures wall-clock only (SURVEY.md §5: no profiler
+integration; FLOPs via mmcv's counter).  Here:
+- ``trace`` wraps ``jax.profiler`` to capture a Perfetto/TensorBoard trace
+  of any callable on the active backend.
+- ``flops_of`` returns XLA's own cost analysis of a jitted function — the
+  TPU-native get_flops (tools/analysis_tools/get_flops.py counterpart).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Any, Callable
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir="work_dirs/profile"):
+    """Capture a profiler trace: view with TensorBoard or Perfetto."""
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def flops_of(fn: Callable, *args, **kwargs):
+    """XLA cost analysis of ``fn(*args)``: dict with flops / bytes accessed."""
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return {
+        "flops": cost.get("flops", float("nan")),
+        "bytes_accessed": cost.get("bytes accessed", float("nan")),
+        "transcendentals": cost.get("transcendentals", 0.0),
+    }
+
+
+def timeit(fn: Callable, *args, iters=20, warmup=3):
+    """Median wall time of a jitted callable (blocks on the result)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
