@@ -20,7 +20,9 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
     gc = {k: tuple(v) for k, v in m["grid_config"].items()}
     return RCBEVDetConfig(
         input_size=tuple(m["input_size"]),
+        img_backbone_type=m.get("img_backbone_type", "resnet"),
         resnet_depth=m.get("resnet_depth", 50),
+        vovnet_spec=m.get("vovnet_spec", "V-99"),
         img_neck_channels=m.get("img_neck_channels", 512),
         num_trans_channels=m.get("num_trans_channels", 80),
         num_adj=m.get("num_adj", 8),

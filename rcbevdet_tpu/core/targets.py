@@ -64,6 +64,8 @@ def centerpoint_targets_single(
     num_objs = min(len(gt_boxes), max_objs)
     for k in range(num_objs):
         cls_id = int(gt_labels[k])
+        if cls_id < 0 or cls_id >= num_classes:
+            continue
         width = gt_boxes[k][3] / voxel_size[0] / out_size_factor
         length = gt_boxes[k][4] / voxel_size[1] / out_size_factor
         if width <= 0 or length <= 0:
@@ -101,3 +103,31 @@ def centerpoint_targets_single(
             np.float32,
         )
     return CenterPointTargets(heatmap, anno_box, inds, mask)
+
+
+def centerpoint_targets_multi_task(
+    gt_boxes,
+    gt_labels,
+    task_groups,
+    **kwargs,
+):
+    """Per-task targets for a MultiTaskCenterHead (reference
+    get_targets_single's task re-bucketing, centerpoint_head.py:470-491):
+    global class ids are remapped to each task's local ids and boxes split by
+    group.
+
+    Returns a list of CenterPointTargets, one per task.
+    """
+    gt_labels = np.asarray(gt_labels).reshape(-1)
+    out = []
+    for group in task_groups:
+        local = {g: i for i, g in enumerate(group)}
+        sel = np.isin(gt_labels, list(group))
+        boxes_t = np.asarray(gt_boxes).reshape(-1, 9)[sel]
+        labels_t = np.asarray([local[int(l)] for l in gt_labels[sel]], np.int64)
+        out.append(
+            centerpoint_targets_single(
+                boxes_t, labels_t, num_classes=len(group), **kwargs
+            )
+        )
+    return out

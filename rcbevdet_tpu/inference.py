@@ -52,6 +52,25 @@ def decode_predictions(preds, test_cfg=RC_TEST_CFG):
     )
 
 
+def decode_predictions_multi(task_preds, task_groups, test_cfg=RC_TEST_CFG):
+    """Decode a MultiTaskCenterHead's per-task outputs and merge with global
+    class ids (reference get_bboxes merges task results with label offsets,
+    centerpoint_head.py:768-786)."""
+    from .core.coders import DecodedBoxes
+
+    parts = []
+    for preds, group in zip(task_preds, task_groups):
+        dec = decode_predictions(preds, test_cfg)
+        glob = jnp.asarray(group, jnp.int32)[dec.labels]
+        parts.append(dec._replace(labels=glob))
+    return DecodedBoxes(
+        bboxes=jnp.concatenate([p.bboxes for p in parts], axis=1),
+        scores=jnp.concatenate([p.scores for p in parts], axis=1),
+        labels=jnp.concatenate([p.labels for p in parts], axis=1),
+        valid=jnp.concatenate([p.valid for p in parts], axis=1),
+    )
+
+
 def postprocess_sample(boxes, scores, labels, valid, test_cfg=RC_TEST_CFG):
     """Host-side NMS for one sample; returns filtered numpy arrays."""
     boxes = np.asarray(boxes)[np.asarray(valid)]

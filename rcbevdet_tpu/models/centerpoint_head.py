@@ -83,6 +83,57 @@ class CenterHead(nn.Module):
         )(x, train=train, update_stats=update_stats)
 
 
+# the reference aux/CenterPoint task grouping (det-...-withHoP-...py:190-200)
+NUSCENES_TASK_GROUPS = ((0,), (1, 2), (3, 4), (5,), (6, 7), (8, 9))
+
+
+class MultiTaskCenterHead(nn.Module):
+    """Task-grouped CenterHead (reference centerpoint_head.py:248-368 with
+    multiple ``tasks``): one shared conv, one SeparateHead per class group.
+
+    ``task_groups``: tuple of tuples of GLOBAL class ids; each group gets its
+    own heatmap over its local classes.  Returns a list of per-task pred
+    dicts (local-class heatmaps).
+    """
+
+    in_channels: int = 256
+    task_groups: Tuple[Tuple[int, ...], ...] = NUSCENES_TASK_GROUPS
+    share_conv_channel: int = 64
+
+    @nn.compact
+    def __call__(self, x, train=False, update_stats=True):
+        x = nn.Conv(
+            self.share_conv_channel, (3, 3), padding=((1, 1), (1, 1)),
+            use_bias=False, name="shared_conv",
+        )(x)
+        x = BatchNorm(name="shared_bn")(
+            x, use_running_average=not train, update_stats=update_stats
+        )
+        x = nn.relu(x)
+        return [
+            SeparateHead(
+                heads=HEAD_SPECS, num_classes=len(group), name=f"task{i}"
+            )(x, train=train, update_stats=update_stats)
+            for i, group in enumerate(self.task_groups)
+        ]
+
+
+def multi_task_loss(task_preds, task_targets, code_weights=(1.0,) * 10,
+                    cls_weight=6.0, bbox_weight=1.5, pmean=None):
+    """Sum of per-task centerpoint losses.
+
+    task_targets: list (per task) of (heatmap_t, anno_box_t, inds_t, mask_t).
+    """
+    losses = {}
+    for tid, (preds, tgt) in enumerate(zip(task_preds, task_targets)):
+        l = centerpoint_loss(
+            preds, *tgt, code_weights=code_weights,
+            cls_weight=cls_weight, bbox_weight=bbox_weight, pmean=pmean,
+        )
+        losses.update({f"task{tid}_{k}": v for k, v in l.items()})
+    return losses
+
+
 def clip_sigmoid(x, eps=1e-4):
     """Sigmoid clamped away from {0, 1} (reference models/utils/clip_sigmoid)."""
     return jnp.clip(jax.nn.sigmoid(x), eps, 1.0 - eps)

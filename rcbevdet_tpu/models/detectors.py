@@ -50,7 +50,9 @@ class RCBEVDetConfig:
     # camera branch
     input_size: Tuple[int, int] = (256, 704)
     downsample: int = 16
+    img_backbone_type: str = "resnet"  # 'resnet' | 'vovnet' (V2-99 configs)
     resnet_depth: int = 50
+    vovnet_spec: str = "V-99"
     img_neck_channels: int = 512
     num_trans_channels: int = 80  # numC_Trans
     num_adj: int = 8
@@ -114,9 +116,16 @@ class CameraBEVBranch(nn.Module):
     def setup(self):
         c = self.cfg
         out_idx = (0, 2, 3) if c.stereo else (2, 3)
-        self.img_backbone = ResNet(
-            depth=c.resnet_depth, out_indices=out_idx, name="img_backbone"
-        )
+        if c.img_backbone_type == "vovnet":
+            from .vovnet import VoVNetV2
+
+            self.img_backbone = VoVNetV2(
+                spec=c.vovnet_spec, out_indices=out_idx, name="img_backbone"
+            )
+        else:
+            self.img_backbone = ResNet(
+                depth=c.resnet_depth, out_indices=out_idx, name="img_backbone"
+            )
         self.img_neck = CustomFPN(
             out_channels=c.img_neck_channels, name="img_neck"
         )
