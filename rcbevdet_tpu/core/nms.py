@@ -43,6 +43,56 @@ def circle_nms_np(boxes, min_radius, post_max_size=83):
     return np.array(keep[:post_max_size], np.int64)
 
 
+def oval_nms_np(dets, thresh_scale, post_max_size=83):
+    """Oval (extent-aware center-distance) NMS (box3d_nms.py:182-233).
+
+    dets: [N, 6] (x, y, dx, dy, yaw, score).  A box is suppressed when its
+    center lies within the yaw-projected combined half-extents of a
+    higher-scoring box, scaled by ``thresh_scale``.
+    """
+    n = len(dets)
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    x, y, dx, dy, yaw = (dets[:, i] for i in range(5))
+    scores = dets[:, -1]
+    order = np.argsort(-scores, kind="stable")
+    ax_c = np.abs(dx * np.cos(yaw))
+    ax_s = np.abs(dx * np.sin(yaw))
+    ay_c = np.abs(dy * np.cos(yaw))
+    ay_s = np.abs(dy * np.sin(yaw))
+    suppressed = np.zeros(n, bool)
+    keep = []
+    for oi in order:
+        if suppressed[oi]:
+            continue
+        keep.append(oi)
+        dist_x = np.abs(x[oi] - x)
+        dist_y = np.abs(y[oi] - y)
+        th_x = (ax_c[oi] + ax_c + ay_s[oi] + ay_s) * thresh_scale / 2
+        th_y = (ax_s[oi] + ax_s + ay_c[oi] + ay_c) * thresh_scale / 2
+        suppressed |= (dist_x <= th_x) & (dist_y <= th_y)
+        suppressed[oi] = True
+    return np.array(keep[:post_max_size], np.int64)
+
+
+def points_in_rotated_boxes(points_xy, bev_boxes):
+    """Boolean [N, M] mask of points inside rotated BEV boxes.
+
+    Pure-array replacement for the reference's points_in_boxes CUDA op
+    (ops/roiaware_pool3d, used by GT-paste augmentation): rotate each point
+    into the box frame and bounds-check.  Works with NumPy or jax.numpy
+    inputs.
+    """
+    xp = np
+    d = points_xy[:, None, :] - bev_boxes[None, :, :2]  # [N, M, 2]
+    c, s = xp.cos(bev_boxes[:, 4]), xp.sin(bev_boxes[:, 4])
+    local_x = d[..., 0] * c + d[..., 1] * s
+    local_y = -d[..., 0] * s + d[..., 1] * c
+    return (xp.abs(local_x) <= bev_boxes[:, 2] / 2) & (
+        xp.abs(local_y) <= bev_boxes[:, 3] / 2
+    )
+
+
 def _polygon_clip(subject, cx, cy, nx_, ny_):
     """Clip polygon ``subject`` [M, 2] by half-plane n.(p - c) <= 0."""
     out = []

@@ -162,3 +162,28 @@ def test_box_corners_bev():
     assert c.shape == (1, 4, 2)
     np.testing.assert_allclose(sorted(c[0, :, 0]), [0, 0, 2, 2])
     np.testing.assert_allclose(sorted(c[0, :, 1]), [0, 0, 4, 4])
+
+
+def test_oval_nms():
+    from rcbevdet_tpu.core.nms import oval_nms_np
+
+    dets = np.array(
+        [
+            [0, 0, 2, 2, 0, 0.9],
+            [0.5, 0, 2, 2, 0, 0.8],   # inside box 0's extent -> suppressed
+            [10, 10, 2, 2, 0.3, 0.7],
+        ],
+        np.float32,
+    )
+    keep = oval_nms_np(dets, thresh_scale=1.0)
+    np.testing.assert_array_equal(sorted(keep), [0, 2])
+
+
+def test_points_in_rotated_boxes():
+    from rcbevdet_tpu.core.nms import points_in_rotated_boxes
+
+    boxes = np.array([[0, 0, 4, 2, np.pi / 2]], np.float32)  # rotated 90deg
+    pts = np.array([[0, 1.9], [1.9, 0], [0.9, 0]], np.float32)
+    mask = points_in_rotated_boxes(pts, boxes)
+    # after rotation the long axis is along y
+    np.testing.assert_array_equal(mask[:, 0], [True, False, True])
