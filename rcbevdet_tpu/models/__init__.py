@@ -1,5 +1,15 @@
 from .detectors import RCBEVDet, RCBEVDetConfig, CameraBEVBranch
-from .centerpoint_head import CenterHead, centerpoint_loss, clip_sigmoid
+from .centerpoint_head import (
+    CenterHead,
+    MultiTaskCenterHead,
+    centerpoint_loss,
+    multi_task_loss,
+    clip_sigmoid,
+)
+from .hop import HoPTemporalPredictor
+from .seg_head import BEVSegHead, seg_loss, seg_iou
+from .vovnet import VoVNetV2
+from .temporal import shift_bev
 from .camf import CAMF, MSDeformAttn, LearnedPositionalEncoding, RadarConvFuser
 from .radar_encoder import RadarBEVNet
 from .pillar_scatter import PointPillarsScatterRCS

@@ -49,6 +49,7 @@ class Runner:
         seed=0,
         mesh=None,
         init_variables=None,
+        auto_resume=True,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -92,6 +93,22 @@ class Runner:
             params=init_variables["params"],
         )
         state = create_train_state(model, init_variables, self.tx)
+        self.start_epoch = 0
+        if auto_resume:
+            # crash recovery: resume from the newest epoch checkpoint in the
+            # work dir (the reference's auto_resume / find_latest_checkpoint,
+            # apis/train.py:315-320)
+            from .checkpoint import find_latest_checkpoint, restore_checkpoint
+
+            latest = find_latest_checkpoint(work_dir)
+            if latest is not None:
+                try:
+                    state = restore_checkpoint(latest, state)
+                    self.start_epoch = int(latest.rsplit("_", 1)[1])
+                    log.info("auto-resumed from %s", latest)
+                except Exception as e:  # incompatible/corrupt checkpoint
+                    log.warning("auto-resume from %s failed (%s); "
+                                "starting fresh", latest, e)
         self.state = replicate(self.mesh, state)
 
         self._steps = {}  # with_prev -> jitted step
@@ -105,8 +122,8 @@ class Runner:
         return self._steps[with_prev]
 
     def run(self):
-        global_step = 0
-        for epoch in range(self.max_epochs):
+        global_step = self.start_epoch * self.steps_per_epoch
+        for epoch in range(self.start_epoch, self.max_epochs):
             with_prev = epoch >= self.temporal_start_epoch
             step_fn = self._get_step(with_prev)
             t0 = time.time()
