@@ -30,11 +30,14 @@ def _to_numpy(t):
 
 
 def convert_tensor(name: str, w: np.ndarray):
-    """Transpose a tensor according to its role inferred from shape/name."""
+    """Transpose a tensor according to its role inferred from shape/name.
+
+    The (2, 3, 1, 0) permutation covers both conv kinds: Conv2d OIHW ->
+    HWIO, and ConvTranspose2d IOHW -> HWOI (the layout flax's
+    ``transpose_kernel=True`` expects) — verified in tests/test_torch_parity.
+    """
     if w.ndim == 4:
-        if "deconv" in name or "deblocks" in name and w.shape[0] != w.shape[1]:
-            pass
-        return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+        return np.transpose(w, (2, 3, 1, 0))
     if w.ndim == 3:  # Conv1d k=1 -> Dense
         return np.transpose(w[..., 0], (1, 0))
     if w.ndim == 2:
