@@ -40,10 +40,21 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
+    import os
+
     from ..builder import build_dataset, build_model
     from ..config import Config
     from ..training.runner import Runner
     from ..training.checkpoint import restore_checkpoint
+
+    # multi-host launch (replaces tools/dist_train.sh NNODES/NODE_RANK):
+    # initialize the JAX multi-controller runtime when the env asks for it
+    if os.environ.get("JAX_NUM_PROCESSES") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        from ..parallel.multihost import initialize
+
+        initialize()
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:

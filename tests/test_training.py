@@ -58,3 +58,10 @@ def test_frozen_mask_and_optimizer():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["camera"]["w"]).sum()) == 0.0
     assert float(jnp.abs(updates["camf"]["w"]).sum()) > 0.0
+
+
+def test_multihost_helpers_single_process():
+    from rcbevdet_tpu.parallel.multihost import host_local_slice
+
+    start, size = host_local_slice(8)
+    assert (start, size) == (0, 8)
