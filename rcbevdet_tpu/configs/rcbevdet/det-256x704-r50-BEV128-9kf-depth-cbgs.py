@@ -7,8 +7,11 @@ model = dict(
     freeze_img=False,
 )
 
+# The reference counterpart ships Scale-NMS (nms_type=['rotate'],
+# det-...-circlelarger.py:150) despite the file name; min_radius is the
+# per-task squared-distance list used only when nms_type='circle'.
 test_cfg = dict(
-    nms_type="circle",
+    nms_type="rotate",
     min_radius=[4, 12, 10, 1, 0.85, 0.175],
 )
 

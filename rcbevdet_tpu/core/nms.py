@@ -18,27 +18,36 @@ from .boxes import box_corners_bev
 def circle_nms_np(boxes, min_radius, post_max_size=83):
     """Center-distance NMS.
 
+    Matches the reference numba ``circle_nms`` (box3d_nms.py:243-286):
+    ``min_radius`` is compared DIRECTLY against the squared center distance
+    (i.e. it is already in squared-distance units — the config value 4 means
+    radius 2 m), suppression uses ``<=``, and candidates are score-sorted
+    internally.
+
     Args:
-      boxes: [N, 3] (x, y, score), assumed score-sorted descending.
-      min_radius: suppression radius (squared distance threshold in the
-        reference numba kernel, box3d_nms.py:237-262).
+      boxes: [N, 3] (x, y, score) in any order.
+      min_radius: squared-distance suppression threshold (scalar — the
+        reference indexes its per-task list before calling,
+        centerpoint_head.py:738-744).
 
     Returns:
-      kept indices (np.ndarray int64), at most ``post_max_size``.
+      kept indices into the ORIGINAL array (np.ndarray int64), at most
+      ``post_max_size``.
     """
     n = boxes.shape[0]
     if n == 0:
         return np.zeros((0,), np.int64)
-    xy = boxes[:, :2]
+    order = np.argsort(-boxes[:, 2], kind="stable")
+    xy = boxes[order, :2]
     d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
-    thresh = float(min_radius) ** 2
+    thresh = float(min_radius)
     suppressed = np.zeros(n, bool)
     keep = []
     for i in range(n):
         if suppressed[i]:
             continue
-        keep.append(i)
-        suppressed |= d2[i] < thresh
+        keep.append(order[i])
+        suppressed |= d2[i] <= thresh
         suppressed[i] = True
     return np.array(keep[:post_max_size], np.int64)
 

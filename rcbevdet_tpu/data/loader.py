@@ -1,18 +1,26 @@
-"""Threaded prefetching data loader.
+"""Threaded prefetching data loader with a DETERMINISTIC batch order.
 
 Replaces the reference's torch DataLoader worker processes
 (apis/train.py:195-210, workers_per_gpu=8): a background thread pool builds
 batches ahead of device compute; the main thread transfers them to the mesh.
-Simple by design — the heavy lifting (jpeg decode, target rendering) is
-NumPy/PIL inside the dataset, and prefetch depth hides it behind the train
-step.
+
+Ordering matters for multi-host training: every host must agree on which
+logical batch is current (each host uploads only its shard — the analog of
+the reference's DistributedGroupSampler rank split), so thread t produces
+batches t, t+T, t+2T, ... into its own queue and the consumer round-robins
+the queues — exact global order regardless of per-thread timing.
+
+``local_slice=(start, size)`` makes the loader collate only this host's
+sub-range of each global batch (see parallel/multihost.host_local_slice);
+the global index schedule is still computed identically on every host from
+the shared seed.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -30,6 +38,7 @@ class PrefetchLoader:
         prefetch: int = 2,
         num_threads: int = 2,
         seed: int = 0,
+        local_slice: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -38,9 +47,13 @@ class PrefetchLoader:
         )
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.prefetch = prefetch
-        self.num_threads = num_threads
+        self.prefetch = max(1, prefetch)
+        self.num_threads = max(1, num_threads)
         self.rng = np.random.default_rng(seed)
+        if local_slice is not None:
+            start, size = local_slice
+            assert 0 <= start and start + size <= batch_size
+        self.local_slice = local_slice
 
     def __len__(self):
         n = len(self.indices) // self.batch_size
@@ -49,6 +62,7 @@ class PrefetchLoader:
         return n
 
     def _batches(self) -> List[List[int]]:
+        """Global batch schedule — identical on every host (seeded rng)."""
         idx = list(self.indices)
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -58,53 +72,55 @@ class PrefetchLoader:
         ]
         if self.drop_last and out and len(out[-1]) < self.batch_size:
             out.pop()
+        if self.local_slice is not None:
+            start, size = self.local_slice
+            out = [b[start : start + size] for b in out]
         return out
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batches()
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        nt = min(self.num_threads, max(len(batches), 1))
+        # one bounded queue per thread; thread t owns batches t::nt so the
+        # consumer's round-robin read reproduces the global order exactly
+        queues = [queue.Queue(maxsize=self.prefetch) for _ in range(nt)]
         stop = threading.Event()
 
-        def worker(batch_list):
+        def worker(tid: int):
             try:
-                for b in batch_list:
+                for b in batches[tid::nt]:
                     if stop.is_set():
                         return
-                    q.put(collate_samples([self.dataset[i] for i in b]))
+                    queues[tid].put(
+                        collate_samples([self.dataset[i] for i in b])
+                    )
             finally:
-                q.put(None)
+                queues[tid].put(None)
 
-        # shard batch list over threads round-robin but preserve order via
-        # a single producer when num_threads == 1; multi-thread keeps order
-        # per-thread (order across threads is relaxed).
-        if self.num_threads <= 1:
-            t = threading.Thread(target=worker, args=(batches,), daemon=True)
+        threads = [
+            threading.Thread(target=worker, args=(t,), daemon=True)
+            for t in range(nt)
+        ]
+        for t in threads:
             t.start()
-            done = 0
-            try:
-                while done < 1:
-                    item = q.get()
-                    if item is None:
-                        done += 1
-                        continue
-                    yield item
-            finally:
-                stop.set()
-        else:
-            shards = [batches[i :: self.num_threads] for i in range(self.num_threads)]
-            threads = [
-                threading.Thread(target=worker, args=(s,), daemon=True)
-                for s in shards
-            ]
-            for t in threads:
-                t.start()
-            done = 0
-            try:
-                while done < len(threads):
-                    item = q.get()
-                    if item is None:
-                        done += 1
-                        continue
-                    yield item
-            finally:
-                stop.set()
+        try:
+            done = [False] * nt
+            i = 0
+            while not all(done):
+                tid = i % nt
+                i += 1
+                if done[tid]:
+                    continue
+                item = queues[tid].get()
+                if item is None:
+                    done[tid] = True
+                    continue
+                yield item
+        finally:
+            stop.set()
+            # drain so producers blocked on put() can see the stop flag
+            for q in queues:
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break

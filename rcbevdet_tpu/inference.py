@@ -85,10 +85,32 @@ def postprocess_sample(boxes, scores, labels, valid, test_cfg=RC_TEST_CFG):
             pre_max_size=test_cfg["pre_max_size"],
             post_max_size=test_cfg["post_max_size"],
         )
-    else:  # circle NMS on centers
-        cand = np.concatenate([boxes[:, :2], scores[:, None]], 1)
-        keep = circle_nms_np(
-            cand, test_cfg["min_radius"], post_max_size=test_cfg["post_max_size"]
+    else:  # circle NMS on centers, applied per task like the reference
+        # (centerpoint_head.py:730-744: min_radius is indexed by task_id and
+        # is a SQUARED-distance threshold).  task_groups lists the global
+        # class ids of each task; the default single-task head uses
+        # min_radius[0] over all classes, exactly like the reference's
+        # single-task camera configs.
+        min_radius = test_cfg["min_radius"]
+        groups = test_cfg.get("task_groups")
+        if groups is None:
+            groups = [list(range(int(labels.max()) + 1 if len(labels) else 1))]
+        if not isinstance(min_radius, (list, tuple)):
+            min_radius = [min_radius] * len(groups)
+        keep_parts = []
+        for task_id, group in enumerate(groups):
+            sel = np.flatnonzero(np.isin(labels, group))
+            if len(sel) == 0:
+                continue
+            cand = np.concatenate([boxes[sel, :2], scores[sel, None]], 1)
+            kept = circle_nms_np(
+                cand, min_radius[task_id],
+                post_max_size=test_cfg["post_max_size"],
+            )
+            keep_parts.append(sel[kept])
+        keep = (
+            np.concatenate(keep_parts)
+            if keep_parts else np.zeros((0,), np.int64)
         )
     return boxes[keep], scores[keep], labels[keep]
 

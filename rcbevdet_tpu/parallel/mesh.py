@@ -29,6 +29,24 @@ def shard_batch(mesh, batch, axis_name="data"):
     )
 
 
+def shard_host_local_batch(mesh, batch, axis_name="data"):
+    """Build global device arrays from each host's LOCAL shard of the batch.
+
+    Multi-host counterpart of ``shard_batch`` (the reference's
+    DistributedGroupSampler rank split, samplers/group_sampler.py): every
+    host holds only its ``host_local_slice`` of the global batch; JAX
+    assembles the logical global array across processes.  With one process
+    this reduces to ``shard_batch``.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def replicate(mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--cfg-options", nargs="*", default=[])
     args = p.parse_args(argv)
 
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import jax
     import jax.numpy as jnp
 

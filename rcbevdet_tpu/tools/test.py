@@ -36,6 +36,10 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import jax
 
     from ..builder import build_dataset, build_model, build_test_cfg
@@ -80,8 +84,17 @@ def main(argv=None):
         tx = make_optimizer(params=variables["params"], freeze_img=mcfg.freeze_img)
         state = create_train_state(model, variables, tx)
         state = restore_checkpoint(args.checkpoint, state)
-        params = state.ema_params if args.use_ema else state.params
-        variables = {"params": params, "batch_stats": state.batch_stats}
+        if args.use_ema:
+            # EMA weights pair with EMA-averaged BN stats (reference ModelEMA
+            # averages running_mean/var too, core/hook/ema.py:56-59)
+            variables = {
+                "params": state.ema_params,
+                "batch_stats": state.ema_batch_stats,
+            }
+        else:
+            variables = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
 
     @jax.jit
     def forward(variables, batch):

@@ -42,6 +42,11 @@ def main(argv=None):
 
     import os
 
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env(num_cpu_devices=int(
+        os.environ.get("RCBEV_NUM_CPU_DEVICES", 0)) or None)
+
     from ..builder import build_dataset, build_model
     from ..config import Config
     from ..training.runner import Runner
@@ -100,6 +105,15 @@ def main(argv=None):
     )
     if args.resume_from:
         runner.state = restore_checkpoint(args.resume_from, runner.state)
+        # Resume the epoch loop too (else max_epochs EXTRA epochs run, the
+        # with_prev toggle sees the wrong epoch, and checkpoint numbering
+        # restarts): derive it from the restored optimizer step, like the
+        # auto-resume path derives it from the checkpoint dir name.
+        import jax as _jax
+
+        runner.start_epoch = int(
+            _jax.device_get(runner.state.step)
+        ) // runner.steps_per_epoch
 
     if args.dry_run:
         import jax

@@ -17,7 +17,12 @@ def ema_decay_schedule(updates, base_decay=0.999, ramp=2000.0):
 
 
 def update_ema(ema_params, params, updates, base_decay=0.999, ramp=2000.0):
-    """ema = d * ema + (1 - d) * params with the ramped decay."""
+    """ema = d * ema + (1 - d) * params with the ramped decay.
+
+    ``updates`` is the POST-increment counter: the reference increments
+    self.updates before computing the decay (core/hook/ema.py:56-63), so the
+    caller passes ``state.ema_updates + 1``.
+    """
     d = ema_decay_schedule(updates.astype(jnp.float32), base_decay, ramp)
     return jax.tree_util.tree_map(
         lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..data.dataset import cbgs_indices
 from ..data.loader import PrefetchLoader
-from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..parallel.mesh import create_mesh, replicate, shard_host_local_batch
+from ..parallel.multihost import host_local_slice
 from .checkpoint import save_checkpoint
 from .train_step import TrainState, create_train_state, make_optimizer, make_train_step
 
@@ -72,9 +73,15 @@ class Runner:
         self.steps_per_epoch = max(len(self.indices) // batch_size, 1)
         total_steps = self.steps_per_epoch * max_epochs
 
+        # each host collates only its slice of every global batch (the
+        # schedule itself is seed-identical across hosts); single-process
+        # runs get the full batch
+        self.local_slice = host_local_slice(batch_size)
         self.loader = PrefetchLoader(
-            dataset, batch_size, indices=self.indices, seed=seed
+            dataset, batch_size, indices=self.indices, seed=seed,
+            local_slice=self.local_slice,
         )
+        self.is_main = jax.process_index() == 0
 
         if init_variables is None:
             sample = dataset[0]
@@ -129,10 +136,10 @@ class Runner:
             t0 = time.time()
             for it, batch in enumerate(self.loader):
                 batch.pop("token", None)
-                batch = shard_batch(self.mesh, batch)
+                batch = shard_host_local_batch(self.mesh, batch)
                 self.state, metrics = step_fn(self.state, batch)
                 global_step += 1
-                if global_step % self.log_interval == 0:
+                if self.is_main and global_step % self.log_interval == 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     dt = (time.time() - t0) / self.log_interval
                     t0 = time.time()
@@ -141,12 +148,21 @@ class Runner:
                         epoch, it, self.steps_per_epoch, dt,
                         json.dumps({k: round(v, 4) for k, v in m.items()}),
                     )
-            if (epoch + 1) % self.checkpoint_interval == 0:
+            if self.is_main and (epoch + 1) % self.checkpoint_interval == 0:
+                # params/opt state are replicated, so process 0's copy is the
+                # global state; other hosts must not race on the same path
                 save_checkpoint(
                     os.path.join(self.work_dir, f"epoch_{epoch + 1}"),
                     jax.device_get(self.state),
                 )
             if self.eval_fn and (epoch + 1) % self.eval_interval == 0:
                 metrics = self.eval_fn(self.state)
-                log.info("eval epoch %d: %s", epoch + 1, json.dumps(metrics))
+                if self.is_main:
+                    log.info("eval epoch %d: %s", epoch + 1, json.dumps(metrics))
+                    with open(
+                        os.path.join(self.work_dir, "eval_metrics.jsonl"), "a"
+                    ) as f:
+                        f.write(json.dumps(
+                            {"epoch": epoch + 1, **metrics}
+                        ) + "\n")
         return self.state

@@ -40,6 +40,11 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     ema_params: Any
+    # EMA of BN running stats too: the reference ModelEMA averages every
+    # floating entry of the state_dict including running_mean/var
+    # (core/hook/ema.py:56-59), so evaluating EMA params must pair them
+    # with EMA batch stats, not the raw ones.
+    ema_batch_stats: Any
     step: jnp.ndarray
     ema_updates: jnp.ndarray
 
@@ -63,17 +68,27 @@ def make_optimizer(
 ):
     lr_fn = cyclic_lr(base_lr, total_steps)
     b1_fn = cyclic_momentum(0.9, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
+    parts = []
+    if freeze_img and params is not None:
+        # Zero frozen-subtree gradients BEFORE the global-norm clip: the
+        # reference sets requires_grad=False on the camera branch
+        # (bevdet_rc.py:548-580), so its clip norm covers only trainable
+        # params.  Clipping the full (mostly frozen) gradient would trigger
+        # earlier and systematically shrink the trainable updates.
+        parts.append(optax.masked(optax.set_to_zero(), _inverted_mask(params)))
+    parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(
         optax.inject_hyperparams(
             lambda learning_rate, b1: optax.adamw(
                 learning_rate=learning_rate, b1=b1, weight_decay=weight_decay
             )
-        )(learning_rate=lr_fn, b1=b1_fn),
+        )(learning_rate=lr_fn, b1=b1_fn)
     )
     if freeze_img and params is not None:
-        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), _inverted_mask(params)))
-    return tx
+        # ... and zero the final updates as well: adamw's decoupled weight
+        # decay adds -lr*wd*param even where the gradient is zero.
+        parts.append(optax.masked(optax.set_to_zero(), _inverted_mask(params)))
+    return optax.chain(*parts)
 
 
 def _inverted_mask(params):
@@ -84,11 +99,13 @@ def _inverted_mask(params):
 
 def create_train_state(model, variables, tx):
     params = variables["params"]
+    stats = variables.get("batch_stats", {})
     return TrainState(
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=stats,
         opt_state=tx.init(params),
         ema_params=jax.tree_util.tree_map(jnp.array, params),
+        ema_batch_stats=jax.tree_util.tree_map(jnp.array, stats),
         step=jnp.zeros((), jnp.int32),
         ema_updates=jnp.asarray(10560, jnp.int32),  # init_updates (config :353)
     )
@@ -138,20 +155,33 @@ def make_train_step(
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = update_ema(
-            state.ema_params, new_params, state.ema_updates
+        n_updates = state.ema_updates + 1  # reference increments first
+        new_ema = update_ema(state.ema_params, new_params, n_updates)
+        new_ema_stats = update_ema(
+            state.ema_batch_stats, new_stats, n_updates
         )
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_stats,
             step=state.step + 1,
-            ema_updates=state.ema_updates + 1,
+            ema_updates=n_updates,
         )
         metrics = dict(losses)
         metrics["loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if getattr(cfg, "freeze_img", False):
+            # report the trainable-subtree norm (what the clip sees), like
+            # the reference whose frozen branch has requires_grad=False
+            mask = frozen_mask(state.params)
+            metrics["grad_norm"] = optax.global_norm(
+                jax.tree_util.tree_map(
+                    lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+                )
+            )
+        else:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     return train_step

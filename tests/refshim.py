@@ -1,0 +1,522 @@
+"""Import shims so REFERENCE torch modules load without mmcv/mmdet/timm.
+
+The parity tests instantiate the actual reference source from
+``/root/reference/mmdet3d/...`` (read-only oracle) and compare its forward
+pass against this framework's flax modules.  The reference imports mmcv /
+mmdet / timm glue that is not installed here; this file provides minimal
+torch implementations of exactly the pieces those files touch (standard
+layers — Conv/BN/LayerNorm/MultiheadAttention — whose numerics come from
+torch itself), plus real reference utilities (gaussian heatmaps,
+clip_sigmoid) loaded by path so no reference logic is re-implemented.
+
+Nothing here ships in the package — test-only scaffolding.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+import types
+
+import torch
+from torch import nn
+
+REF = "/root/reference"
+
+_installed = False
+
+
+def _module(name):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    return mod
+
+
+def _load_by_path(relpath, name=None):
+    """Load a reference source file.  When ``name`` is omitted the file is
+    registered under its REAL dotted module name (e.g.
+    ``mmdet3d.models.necks.view_transformer``) so its relative imports
+    resolve against the shim packages installed in sys.modules."""
+    if name is None:
+        name = relpath[:-3].replace("/", ".")
+        # make sure every parent package exists in sys.modules
+        parts = name.split(".")
+        for i in range(1, len(parts)):
+            pkg = _module(".".join(parts[:i]))
+            if not hasattr(pkg, "__path__"):
+                pkg.__path__ = []
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------- mmcv.cnn
+def build_norm_layer(cfg, num_features, postfix=""):
+    cfg = dict(cfg) if cfg is not None else dict(type="BN")
+    t = cfg.pop("type")
+    cfg.pop("requires_grad", None)
+    if t in ("BN", "BN2d", "SyncBN"):
+        layer, abbr = nn.BatchNorm2d(num_features, **cfg), "bn"
+    elif t == "BN1d":
+        layer, abbr = nn.BatchNorm1d(num_features, **cfg), "bn"
+    elif t == "BN3d":
+        layer, abbr = nn.BatchNorm3d(num_features, **cfg), "bn"
+    elif t == "LN":
+        layer, abbr = nn.LayerNorm(num_features, **cfg), "ln"
+    elif t == "GN":
+        layer, abbr = nn.GroupNorm(cfg.pop("num_groups"), num_features, **cfg), "gn"
+    else:
+        raise KeyError(t)
+    return abbr + str(postfix), layer
+
+
+def build_conv_layer(cfg, *args, **kwargs):
+    t = "Conv2d" if cfg is None else dict(cfg)["type"]
+    return {"Conv1d": nn.Conv1d, "Conv2d": nn.Conv2d, "Conv": nn.Conv2d,
+            "Conv3d": nn.Conv3d}[t](*args, **kwargs)
+
+
+def build_upsample_layer(cfg, *args, **kwargs):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    cfg.update(kwargs)
+    if t == "deconv":
+        return nn.ConvTranspose2d(*args, **cfg)
+    raise KeyError(t)
+
+
+def kaiming_init(module, a=0, mode="fan_out", nonlinearity="relu", bias=0,
+                 distribution="normal"):
+    if distribution == "normal":
+        nn.init.kaiming_normal_(module.weight, a=a, mode=mode,
+                                nonlinearity=nonlinearity)
+    else:
+        nn.init.kaiming_uniform_(module.weight, a=a, mode=mode,
+                                 nonlinearity=nonlinearity)
+    if hasattr(module, "bias") and module.bias is not None:
+        nn.init.constant_(module.bias, bias)
+
+
+class ConvModule(nn.Module):
+    """mmcv ConvModule: conv -> norm -> act with bias='auto' semantics."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias="auto", conv_cfg=None,
+                 norm_cfg=None, act_cfg=dict(type="ReLU"), inplace=True,
+                 order=("conv", "norm", "act"), **kwargs):
+        super().__init__()
+        self.order = order
+        self.with_norm = norm_cfg is not None
+        self.with_activation = act_cfg is not None
+        if bias == "auto":
+            bias = not self.with_norm
+        self.conv = build_conv_layer(
+            conv_cfg, in_channels, out_channels, kernel_size, stride=stride,
+            padding=padding, dilation=dilation, groups=groups, bias=bias,
+        )
+        if self.with_norm:
+            # mmcv registers the norm under its abbreviated name ('bn'/'gn')
+            norm_channels = (
+                out_channels if order.index("norm") > order.index("conv")
+                else in_channels
+            )
+            self.norm_name, norm = build_norm_layer(norm_cfg, norm_channels)
+            self.add_module(self.norm_name, norm)
+        if self.with_activation:
+            t = dict(act_cfg)["type"]
+            self.activate = {"ReLU": nn.ReLU, "GELU": nn.GELU,
+                             "Sigmoid": nn.Sigmoid}[t]()
+
+    @property
+    def norm(self):
+        return getattr(self, self.norm_name) if self.with_norm else None
+
+    def forward(self, x, activate=True, norm=True):
+        for layer in self.order:
+            if layer == "conv":
+                x = self.conv(x)
+            elif layer == "norm" and norm and self.with_norm:
+                x = getattr(self, self.norm_name)(x)
+            elif layer == "act" and activate and self.with_activation:
+                x = self.activate(x)
+        return x
+
+
+# -------------------------------------------------------------- mmcv.runner
+class BaseModule(nn.Module):
+    def __init__(self, init_cfg=None):
+        super().__init__()
+        self.init_cfg = init_cfg
+
+    def init_weights(self):
+        for m in self.children():
+            if hasattr(m, "init_weights"):
+                m.init_weights()
+
+
+def force_fp32(*dargs, **dkwargs):
+    def deco(fn):
+        return fn
+    if len(dargs) == 1 and callable(dargs[0]):
+        return dargs[0]
+    return deco
+
+
+auto_fp16 = force_fp32
+
+
+# ------------------------------------------------- mmcv.cnn.bricks.transformer
+class MultiheadAttention(BaseModule):
+    """mmcv wrapper over nn.MultiheadAttention (residual inside).
+
+    Matches mmcv/cnn/bricks/transformer.py semantics for the subset the
+    reference uses (DMSA: positional args (embed_dims, num_heads, attn_drop),
+    batch_first=True, forward(query, attn_mask=...)).
+    """
+
+    def __init__(self, embed_dims, num_heads, attn_drop=0.0, proj_drop=0.0,
+                 dropout_layer=dict(type="Dropout", drop_prob=0.0),
+                 init_cfg=None, batch_first=False, **kwargs):
+        super().__init__(init_cfg)
+        self.embed_dims = embed_dims
+        self.num_heads = num_heads
+        self.batch_first = batch_first
+        self.attn = nn.MultiheadAttention(embed_dims, num_heads, attn_drop,
+                                          **kwargs)
+        self.proj_drop = nn.Dropout(proj_drop)
+        self.dropout_layer = nn.Dropout(dict(dropout_layer)["drop_prob"]) \
+            if dropout_layer else nn.Identity()
+
+    def forward(self, query, key=None, value=None, identity=None,
+                query_pos=None, key_pos=None, attn_mask=None,
+                key_padding_mask=None, **kwargs):
+        if key is None:
+            key = query
+        if value is None:
+            value = key
+        if identity is None:
+            identity = query
+        if key_pos is None and query_pos is not None \
+                and query_pos.shape == key.shape:
+            key_pos = query_pos
+        if query_pos is not None:
+            query = query + query_pos
+        if key_pos is not None:
+            key = key + key_pos
+        if self.batch_first:
+            query = query.transpose(0, 1)
+            key = key.transpose(0, 1)
+            value = value.transpose(0, 1)
+        out = self.attn(query=query, key=key, value=value,
+                        attn_mask=attn_mask,
+                        key_padding_mask=key_padding_mask)[0]
+        if self.batch_first:
+            out = out.transpose(0, 1)
+        return identity + self.dropout_layer(self.proj_drop(out))
+
+
+class FFN(BaseModule):
+    def __init__(self, embed_dims=256, feedforward_channels=1024, num_fcs=2,
+                 act_cfg=dict(type="ReLU", inplace=True), ffn_drop=0.0,
+                 dropout_layer=None, add_identity=True, init_cfg=None,
+                 **kwargs):
+        super().__init__(init_cfg)
+        act = {"ReLU": nn.ReLU, "GELU": nn.GELU}[dict(act_cfg)["type"]]()
+        layers = []
+        in_c = embed_dims
+        for _ in range(num_fcs - 1):
+            layers += [nn.Sequential(nn.Linear(in_c, feedforward_channels),
+                                     act, nn.Dropout(ffn_drop))]
+            in_c = feedforward_channels
+        layers += [nn.Linear(feedforward_channels, embed_dims),
+                   nn.Dropout(ffn_drop)]
+        self.layers = nn.Sequential(*layers)
+        self.add_identity = add_identity
+        self.dropout_layer = nn.Identity()
+
+    def forward(self, x, identity=None):
+        out = self.layers(x)
+        if not self.add_identity:
+            return self.dropout_layer(out)
+        if identity is None:
+            identity = x
+        return identity + self.dropout_layer(out)
+
+
+# ----------------------------------------------------------------- timm bits
+def to_2tuple(x):
+    return x if isinstance(x, tuple) else (x, x)
+
+
+class DropPath(nn.Module):
+    def __init__(self, drop_prob=0.0):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        keep = 1 - self.drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = x.new_empty(shape).bernoulli_(keep)
+        return x.div(keep) * mask
+
+
+class TimmMlp(nn.Module):
+    def __init__(self, in_features, hidden_features=None, out_features=None,
+                 act_layer=nn.GELU, drop=0.0, **kwargs):
+        super().__init__()
+        out_features = out_features or in_features
+        hidden_features = hidden_features or in_features
+        self.fc1 = nn.Linear(in_features, hidden_features)
+        self.act = act_layer()
+        self.drop1 = nn.Dropout(drop)
+        self.fc2 = nn.Linear(hidden_features, out_features)
+        self.drop2 = nn.Dropout(drop)
+
+    def forward(self, x):
+        return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
+
+
+# ------------------------------------------------------------- mmdet resnet
+class MMDetBasicBlock(nn.Module):
+    """mmdet BasicBlock (backbones/resnet.py): 3x3-BN-ReLU-3x3-BN + res."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1,
+                 downsample=None, **kwargs):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride,
+                               padding=dilation, dilation=dilation, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+# ----------------------------------------------------------------- registries
+class Registry:
+    def __init__(self, name):
+        self.name = name
+        self.module_dict = {}
+
+    def register_module(self, name=None, force=False, module=None):
+        def _register(cls):
+            self.module_dict[name or cls.__name__] = cls
+            return cls
+        if module is not None:
+            return _register(module)
+        return _register
+
+    def get(self, key):
+        return self.module_dict[key]
+
+
+def multi_apply(func, *args, **kwargs):
+    import functools
+    pfunc = functools.partial(func, **kwargs) if kwargs else func
+    map_results = map(pfunc, *args)
+    return tuple(map(list, zip(*map_results)))
+
+
+def reduce_mean(tensor):
+    return tensor
+
+
+class _AttrDict(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def build_bbox_coder(cfg):
+    return _AttrDict(cfg)
+
+
+def build_loss(cfg):
+    return nn.Identity()
+
+
+def _stub(*a, **k):
+    raise NotImplementedError("stubbed ext op called in parity test")
+
+
+def install():
+    """Register all shim modules in sys.modules (idempotent)."""
+    global _installed
+    if _installed:
+        return
+    mmcv = _module("mmcv")
+    cnn = _module("mmcv.cnn")
+    cnn.build_norm_layer = build_norm_layer
+    cnn.build_conv_layer = build_conv_layer
+    cnn.build_upsample_layer = build_upsample_layer
+    cnn.ConvModule = ConvModule
+    cnn.kaiming_init = kaiming_init
+    cnn.xavier_init = lambda m, **k: None
+    mmcv.cnn = cnn
+    bricks = _module("mmcv.cnn.bricks")
+    transformer = _module("mmcv.cnn.bricks.transformer")
+    transformer.MultiheadAttention = MultiheadAttention
+    transformer.FFN = FFN
+    bricks.transformer = transformer
+    cnn.bricks = bricks
+    runner = _module("mmcv.runner")
+    runner.BaseModule = BaseModule
+    runner.force_fp32 = force_fp32
+    runner.auto_fp16 = auto_fp16
+    mmcv.runner = runner
+
+    timm = _module("timm")
+    tmodels = _module("timm.models")
+    tlayers = _module("timm.models.layers")
+    tlayers.DropPath = DropPath
+    tlayers.Mlp = TimmMlp
+    tlayers.to_2tuple = to_2tuple
+    tmodels.layers = tlayers
+    timm.models = tmodels
+
+    mmdet = _module("mmdet")
+    mcore = _module("mmdet.core")
+    mcore.build_bbox_coder = build_bbox_coder
+    mcore.multi_apply = multi_apply
+    mcore.reduce_mean = reduce_mean
+    mmdet.core = mcore
+    mmodels = _module("mmdet.models")
+    mbackbones = _module("mmdet.models.backbones")
+    mresnet = _module("mmdet.models.backbones.resnet")
+    mresnet.BasicBlock = MMDetBasicBlock
+    mbackbones.resnet = mresnet
+    mmodels.backbones = mbackbones
+    mmdet.models = mmodels
+
+    # real reference utilities, loaded by path (pure torch/numpy)
+    gaussian = _load_by_path("mmdet3d/core/utils/gaussian.py",
+                             "_ref_gaussian")
+    clip_sig = _load_by_path("mmdet3d/models/utils/clip_sigmoid.py",
+                             "_ref_clip_sigmoid")
+
+    m3d = _module("mmdet3d")
+    m3dcore = _module("mmdet3d.core")
+    m3dcore.draw_heatmap_gaussian = gaussian.draw_heatmap_gaussian
+    m3dcore.draw_heatmap_gaussian_feat = gaussian.draw_heatmap_gaussian_feat
+    m3dcore.gaussian_radius = gaussian.gaussian_radius
+    m3dcore.circle_nms = _stub
+    m3dcore.oval_nms = _stub
+
+    def xywhr2xyxyr(boxes_xywhr):
+        boxes = torch.zeros_like(boxes_xywhr)
+        half_w = boxes_xywhr[..., 2] / 2
+        half_h = boxes_xywhr[..., 3] / 2
+        boxes[..., 0] = boxes_xywhr[..., 0] - half_w
+        boxes[..., 1] = boxes_xywhr[..., 1] - half_h
+        boxes[..., 2] = boxes_xywhr[..., 0] + half_w
+        boxes[..., 3] = boxes_xywhr[..., 1] + half_h
+        boxes[..., 4] = boxes_xywhr[..., 4]
+        return boxes
+
+    m3dcore.xywhr2xyxyr = xywhr2xyxyr
+    m3d.core = m3dcore
+    m3dpost = _module("mmdet3d.core.post_processing")
+    m3dpost.nms_bev = _stub
+    m3dcore.post_processing = m3dpost
+
+    m3dmodels = _module("mmdet3d.models")
+    m3dbuilder = _module("mmdet3d.models.builder")
+    for reg in ("BACKBONES", "NECKS", "HEADS", "MIDDLE_ENCODERS", "FUSERS",
+                "VOXEL_ENCODERS", "DETECTORS", "LOSSES", "SEGMENTORS"):
+        setattr(m3dbuilder, reg, Registry(reg))
+    m3dbuilder.build_backbone = _stub
+    m3dbuilder.build_neck = _stub
+    m3dbuilder.build_loss = build_loss
+    m3dbuilder.build_head = _stub
+    m3dmodels.builder = m3dbuilder
+    m3dmodels.utils = _module("mmdet3d.models.utils")
+    m3dmodels.utils.clip_sigmoid = clip_sig.clip_sigmoid
+    m3d.models = m3dmodels
+
+    m3dops = _module("mmdet3d.ops")
+    bp = _module("mmdet3d.ops.bev_pool_v2")
+    bpb = _module("mmdet3d.ops.bev_pool_v2.bev_pool")
+    bpb.bev_pool_v2 = _stub
+    bp.bev_pool = bpb
+    m3dops.bev_pool_v2 = bp
+    m3d.ops = m3dops
+
+    # compiled ext imported at module scope by ms_deform_attn_func.py
+    _module("MultiScaleDeformableAttention")
+
+    _installed = True
+
+
+# ------------------------------------------------------- reference loaders
+def load_radar_encoder():
+    install()
+    return _load_by_path("mmdet3d/models/backbones/radar_encoder.py")
+
+
+def load_view_transformer():
+    install()
+    return _load_by_path("mmdet3d/models/necks/view_transformer.py")
+
+
+def load_centerpoint_head():
+    install()
+    return _load_by_path("mmdet3d/models/dense_heads/centerpoint_head.py")
+
+
+def load_pillar_scatter():
+    install()
+    return _load_by_path("mmdet3d/models/middle_encoders/pillar_scatter.py")
+
+
+def load_second():
+    install()
+    return _load_by_path("mmdet3d/models/backbones/second.py")
+
+
+def load_second_fpn():
+    install()
+    return _load_by_path("mmdet3d/models/necks/second_fpn.py")
+
+
+def load_ms_deform_attn():
+    install()
+    funcs = _load_by_path(
+        "mmdet3d/models/model_utils/ops/functions/ms_deform_attn_func.py",
+        "_ref_msda_func")
+    # the modules/__init__ imports `from ..functions import ...`; load the
+    # module file directly with its relative imports patched via sys.modules
+    pkg = _module("_ref_msda_pkg")
+    pkg.__path__ = []
+    fpkg = _module("_ref_msda_pkg.functions")
+    fpkg.MSDeformAttnFunction = funcs.MSDeformAttnFunction
+    spec = importlib.util.spec_from_file_location(
+        "_ref_msda_pkg.modules.ms_deform_attn",
+        f"{REF}/mmdet3d/models/model_utils/ops/modules/ms_deform_attn.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_msda_pkg.modules.ms_deform_attn"] = mod
+    _module("_ref_msda_pkg.modules").__path__ = []
+    spec.loader.exec_module(mod)
+    return mod, funcs

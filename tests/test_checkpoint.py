@@ -22,6 +22,7 @@ def _tiny_state(value):
         batch_stats={"bn": {"mean": jnp.zeros(3)}},
         opt_state=tx.init(params),
         ema_params=params,
+        ema_batch_stats={"bn": {"mean": jnp.zeros(3)}},
         step=jnp.asarray(5, jnp.int32),
         ema_updates=jnp.asarray(100, jnp.int32),
     )
