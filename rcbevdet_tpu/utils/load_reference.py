@@ -204,11 +204,15 @@ def map_reference_key(key: str, second_layer_nums=(3, 5, 5)) -> Optional[Tuple[s
         groups = m.groups()
         if template == "@second_conv":
             blk, seq = int(groups[0]), int(groups[1])
+            if seq % 3 != 0:  # a BN 'weight' (scale), not a conv kernel
+                return (
+                    "radar_bev_backbone", f"block{blk}_bn{seq // 3}", "scale"
+                )
             return ("radar_bev_backbone", f"block{blk}_conv{seq // 3}", "kernel")
         if template == "@second_bn":
             blk, seq, leaf = int(groups[0]), int(groups[1]), groups[2]
-            if seq % 3 != 1:
-                return None
+            if seq % 3 != 1 or _bn(leaf) is None:
+                return None  # not a BN slot / num_batches_tracked
             return (
                 "radar_bev_backbone", f"block{blk}_bn{seq // 3}", _bn(leaf)
             )

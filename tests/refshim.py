@@ -78,7 +78,9 @@ def build_norm_layer(cfg, num_features, postfix=""):
 
 
 def build_conv_layer(cfg, *args, **kwargs):
-    t = "Conv2d" if cfg is None else dict(cfg)["type"]
+    cfg = dict(cfg) if cfg is not None else dict(type="Conv2d")
+    t = cfg.pop("type")
+    kwargs = {**cfg, **kwargs}  # cfg can carry e.g. bias=False (SECOND)
     return {"Conv1d": nn.Conv1d, "Conv2d": nn.Conv2d, "Conv": nn.Conv2d,
             "Conv3d": nn.Conv3d}[t](*args, **kwargs)
 
@@ -446,10 +448,16 @@ def install():
     for reg in ("BACKBONES", "NECKS", "HEADS", "MIDDLE_ENCODERS", "FUSERS",
                 "VOXEL_ENCODERS", "DETECTORS", "LOSSES", "SEGMENTORS"):
         setattr(m3dbuilder, reg, Registry(reg))
-    m3dbuilder.build_backbone = _stub
-    m3dbuilder.build_neck = _stub
+    def _make_build(reg):
+        def _build(cfg, **kw):
+            cfg = dict(cfg)
+            return reg.get(cfg.pop("type"))(**cfg)
+        return _build
+
+    m3dbuilder.build_backbone = _make_build(m3dbuilder.BACKBONES)
+    m3dbuilder.build_neck = _make_build(m3dbuilder.NECKS)
     m3dbuilder.build_loss = build_loss
-    m3dbuilder.build_head = _stub
+    m3dbuilder.build_head = _make_build(m3dbuilder.HEADS)
     m3dmodels.builder = m3dbuilder
     m3dmodels.utils = _module("mmdet3d.models.utils")
     m3dmodels.utils.clip_sigmoid = clip_sig.clip_sigmoid

@@ -1,0 +1,364 @@
+"""Forward-numerics parity against the ACTUAL reference torch modules.
+
+Each test instantiates the reference source from /root/reference (loaded
+through tests/refshim.py — mmcv/timm glue shimmed with standard torch
+layers, reference utilities loaded verbatim), converts its state_dict
+through the production name map (utils/load_reference.py), runs both
+models on the same inputs, and asserts forward parity.
+
+This is the round-2 upgrade of the name-map coverage test into actual
+numerics evidence, module by module:
+
+- RadarBEVNet        (reference radar_encoder.py:265-451)
+- DepthNet (+ASPP)   (reference view_transformer.py:326-635)
+- MSDeformAttn       (reference model_utils/ops/modules/ms_deform_attn.py:182)
+- CenterHead         (reference centerpoint_head.py:19-368)
+- PointPillarsScatterRCS (reference pillar_scatter.py:107-135)
+- SECOND             (reference second.py:12)
+- SECONDFPN          (reference second_fpn.py:12)
+
+BN running stats are randomized so eval-mode normalization is tested
+non-trivially.  conftest pins float32 matmul precision; tolerance 1e-4.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import refshim
+from rcbevdet_tpu.utils.load_reference import load_reference_checkpoint
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def _randomize_bn_stats(module, rng):
+    """Give running stats non-default values so eval BN is really tested."""
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.tensor(
+                    rng.standard_normal(m.num_features) * 0.3,
+                    dtype=torch.float32))
+                m.running_var.copy_(torch.tensor(
+                    rng.uniform(0.5, 1.5, m.num_features),
+                    dtype=torch.float32))
+
+
+def _randomize_params(module, rng):
+    for p in module.parameters():
+        with torch.no_grad():
+            p.copy_(torch.tensor(
+                rng.standard_normal(tuple(p.shape)) * 0.1,
+                dtype=torch.float32))
+
+
+def _convert(torch_module, prefix, flax_variables, wrap):
+    """torch state_dict -> flax variables through the production name map.
+
+    wrap: path tuple under which the flax module's tree sits in the full
+    detector (e.g. ('radar_voxel_encoder',) or ('camera',
+    'img_view_transformer', 'depth_net')).
+    """
+    sd = {prefix + k: v for k, v in torch_module.state_dict().items()}
+
+    def nest(tree):
+        for p in reversed(wrap):
+            tree = {p: tree}
+        return tree
+
+    def unnest(tree):
+        for p in wrap:
+            tree = tree[p]
+        return tree
+
+    wrapped = {root: nest(sub) for root, sub in flax_variables.items()}
+    new_vars, report = load_reference_checkpoint(sd, wrapped)
+    assert not report["unmapped"], f"unmapped: {report['unmapped'][:8]}"
+    assert not report["untouched"], f"untouched: {report['untouched'][:8]}"
+    return {root: unnest(sub) for root, sub in new_vars.items()}
+
+
+# --------------------------------------------------------------- RadarBEVNet
+def test_radar_bevnet_forward_parity(rng):
+    ref_mod = refshim.load_radar_encoder()
+    pc_range = (-8.0, -8.0, -5.0, 8.0, 8.0, 3.0)
+    voxel_size = (0.5, 0.5, 8.0)
+    tm = ref_mod.RadarBEVNet(
+        in_channels=7, feat_channels=[16, 32], voxel_size=voxel_size,
+        point_cloud_range=pc_range, with_pos_embed=True, return_rcs=True,
+    ).eval()
+    _randomize_params(tm, rng)
+    _randomize_bn_stats(tm, rng)
+
+    b, p, k = 2, 10, 6
+    feats = rng.standard_normal((b * p, k, 7)).astype(np.float32)
+    feats[..., 0] = rng.uniform(pc_range[0], pc_range[3], (b * p, k))
+    feats[..., 1] = rng.uniform(pc_range[1], pc_range[4], (b * p, k))
+    feats[..., 2] = rng.uniform(pc_range[2], pc_range[5], (b * p, k))
+    num_voxels = rng.integers(1, k + 1, b * p).astype(np.int64)
+    # zero padded slots like the real voxelizer output
+    for i in range(b * p):
+        feats[i, num_voxels[i]:] = 0.0
+    # coors: (batch, z, y, x) rows, batch-sorted
+    coors = np.zeros((b * p, 4), np.int64)
+    coors[:, 0] = np.repeat(np.arange(b), p)
+    coors[:, 2] = rng.integers(0, 32, b * p)
+    coors[:, 3] = rng.integers(0, 32, b * p)
+
+    with torch.no_grad():
+        t_out, t_rcs = tm(
+            torch.tensor(feats.copy()), torch.tensor(num_voxels),
+            torch.tensor(coors),
+        )
+
+    from rcbevdet_tpu.models.radar_encoder import RadarBEVNet
+
+    jm = RadarBEVNet(
+        in_channels=7, feat_channels=(16, 32), voxel_size=voxel_size,
+        point_cloud_range=pc_range, with_pos_embed=True,
+    )
+    j_feats = jnp.asarray(feats.reshape(b, p, k, 7))
+    j_num = jnp.asarray(num_voxels.reshape(b, p).astype(np.int32))
+    j_coors = jnp.asarray(coors[:, 1:].reshape(b, p, 3).astype(np.int32))
+    j_mask = jnp.ones((b, p), bool)
+    variables = jm.init(jax.random.PRNGKey(0), j_feats, j_num, j_coors, j_mask)
+    variables = _convert(tm, "radar_voxel_encoder.", variables,
+                         ("radar_voxel_encoder",))
+    j_out, j_rcs = jm.apply(variables, j_feats, j_num, j_coors, j_mask)
+
+    np.testing.assert_allclose(
+        np.asarray(j_out).reshape(b * p, -1), t_out.numpy(), **TOL)
+    np.testing.assert_allclose(
+        np.asarray(j_rcs).reshape(b * p, -1), t_rcs.numpy(), **TOL)
+
+
+# ------------------------------------------------------------------ DepthNet
+def test_depthnet_aspp_forward_parity(rng):
+    ref_mod = refshim.load_view_transformer()
+    tm = ref_mod.DepthNet(
+        in_channels=32, mid_channels=32, context_channels=16,
+        depth_channels=12, use_dcn=False, use_aspp=True,
+        aspp_mid_channels=12,
+    ).eval()
+    _randomize_params(tm, rng)
+    _randomize_bn_stats(tm, rng)
+
+    bn, h, w = 2, 8, 12
+    x = rng.standard_normal((bn, 32, h, w)).astype(np.float32)
+    mlp_input = rng.standard_normal((1, bn, 27)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tm(torch.tensor(x), torch.tensor(mlp_input))
+
+    from rcbevdet_tpu.models.view_transformer import DepthNet
+
+    jm = DepthNet(mid_channels=32, context_channels=16, depth_channels=12,
+                  aspp_mid_channels=12)
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+    jmlp = jnp.asarray(mlp_input)
+    variables = jm.init(jax.random.PRNGKey(0), jx, jmlp)
+    variables = _convert(
+        tm, "img_view_transformer.depth_net.", variables,
+        ("camera", "img_view_transformer", "depth_net"),
+    )
+    j_out = jm.apply(variables, jx, jmlp)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(), **TOL)
+
+
+# -------------------------------------------------------------- MSDeformAttn
+def test_ms_deform_attn_forward_parity(rng):
+    mod, funcs = refshim.load_ms_deform_attn()
+
+    class _PyFn:
+        @staticmethod
+        def apply(value, shapes, start_index, locs, weights, step):
+            return funcs.ms_deform_attn_core_pytorch(
+                value, shapes, locs, weights)
+
+    mod.MSDeformAttnFunction = _PyFn  # CPU oracle instead of the CUDA ext
+
+    tm = mod.MSDeformAttn(d_model=32, n_levels=1, n_heads=8, n_points=8)
+    tm.eval()
+    _randomize_params(tm, rng)
+    # restore the structured inits the random fill destroyed? No — random
+    # weights are a STRONGER parity test than the ring init.
+
+    b, lq, h, w = 2, 20, 8, 10
+    query = rng.standard_normal((b, lq, 32)).astype(np.float32)
+    ref_pts = rng.uniform(0.05, 0.95, (b, lq, 1, 2)).astype(np.float32)
+    flat = rng.standard_normal((b, h * w, 32)).astype(np.float32)
+    shapes = torch.tensor([[h, w]], dtype=torch.long)
+    start = torch.tensor([0], dtype=torch.long)
+    with torch.no_grad():
+        t_out = tm(torch.tensor(query), torch.tensor(ref_pts),
+                   torch.tensor(flat), shapes, start)
+
+    from rcbevdet_tpu.models.camf import MSDeformAttn
+
+    jm = MSDeformAttn(d_model=32, n_levels=1, n_heads=8, n_points=8)
+    variables = jm.init(
+        jax.random.PRNGKey(0), jnp.asarray(query), jnp.asarray(ref_pts),
+        jnp.asarray(flat), ((h, w),),
+    )
+    variables = _convert(tm, "DeformAttn1.", variables,
+                         ("camf", "deform_attn1"))
+    j_out = jm.apply(variables, jnp.asarray(query), jnp.asarray(ref_pts),
+                     jnp.asarray(flat), ((h, w),))
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), **TOL)
+
+
+# ---------------------------------------------------------------- CenterHead
+def test_centerhead_forward_parity(rng):
+    ref_mod = refshim.load_centerpoint_head()
+    classes = ["car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian",
+               "traffic_cone"]
+    tm = ref_mod.CenterHead(
+        in_channels=32,
+        tasks=[dict(num_class=10, class_names=classes)],
+        common_heads=dict(reg=(2, 2), height=(1, 2), dim=(3, 2),
+                          rot=(2, 2), vel=(2, 2)),
+        share_conv_channel=16,
+        bbox_coder=dict(type="CenterPointBBoxCoder", code_size=9),
+        separate_head=dict(type="SeparateHead", init_bias=-2.19,
+                           final_kernel=3),
+        norm_bbox=True,
+    ).eval()
+    _randomize_params(tm, rng)
+    _randomize_bn_stats(tm, rng)
+
+    b, h, w = 2, 8, 8
+    x = rng.standard_normal((b, 32, h, w)).astype(np.float32)
+    with torch.no_grad():
+        t_ret = tm([torch.tensor(x)])[0][0]  # task 0 dict
+
+    from rcbevdet_tpu.models.centerpoint_head import CenterHead
+
+    jm = CenterHead(in_channels=32, num_classes=10, share_conv_channel=16)
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    variables = _convert(tm, "pts_bbox_head.", variables, ("pts_bbox_head",))
+    j_ret = jm.apply(variables, jx)
+    for key in ("reg", "height", "dim", "rot", "vel", "heatmap"):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(j_ret[key]), -1, 1),
+            t_ret[key].numpy(), err_msg=key, **TOL)
+
+
+# --------------------------------------------------- PointPillarsScatterRCS
+def test_pillar_scatter_rcs_forward_parity(rng):
+    ref_mod = refshim.load_pillar_scatter()
+    ny = nx = 36
+    tm = ref_mod.PointPillarsScatterRCS(
+        in_channels=8, output_shape=[ny, nx]).eval()
+    _randomize_params(tm, rng)
+
+    b, p = 2, 5
+    npil = b * p
+    feats = rng.standard_normal((npil, 8)).astype(np.float32)
+    # rcs rows mimic RadarBEVNet's masked-mean output of the normalized
+    # point features: columns 0,1 = normalized xy in [0,1], -2 = raw RCS
+    rcs = rng.standard_normal((npil, 7)).astype(np.float32) * 0.3
+    rcs[:, 0] = rng.uniform(0.1, 0.9, npil)
+    rcs[:, 1] = rng.uniform(0.1, 0.9, npil)
+    rcs[:, -2] = rng.uniform(-1.0, 2.0, npil)  # int radius <= 4 (window 9)
+    coors = np.zeros((npil, 4), np.int64)
+    coors[:, 0] = np.repeat(np.arange(b), p)
+    # non-overlapping windows: the reference feat-rectangle is last-wins on
+    # overlap (an order-dependent detail our max-combine deliberately
+    # replaces, see render_rcs_maps docstring) — keep disks disjoint so the
+    # mechanism itself is what's compared
+    grid = np.array([(gy, gx) for gy in (6, 17, 28) for gx in (6, 17, 28)])
+    for s in range(b):
+        pick = rng.choice(len(grid), size=p, replace=False)
+        coors[s * p:(s + 1) * p, 2] = grid[pick, 0]
+        coors[s * p:(s + 1) * p, 3] = grid[pick, 1]
+
+    with torch.no_grad():
+        t_out = tm((torch.tensor(feats), torch.tensor(rcs)),
+                   torch.tensor(coors), batch_size=b)
+
+    from rcbevdet_tpu.models.pillar_scatter import PointPillarsScatterRCS
+
+    jm = PointPillarsScatterRCS(in_channels=8, output_shape=(ny, nx),
+                                r_max=8)
+    j_feats = jnp.asarray(feats.reshape(b, p, 8))
+    j_rcs = jnp.asarray(rcs.reshape(b, p, 7))
+    j_coors = jnp.asarray(coors[:, 1:].reshape(b, p, 3).astype(np.int32))
+    j_mask = jnp.ones((b, p), bool)
+    variables = jm.init(jax.random.PRNGKey(0), j_feats, j_rcs, j_coors, j_mask)
+    variables = _convert(tm, "radar_middle_encoder.", variables,
+                         ("radar_middle_encoder",))
+    j_out = jm.apply(variables, j_feats, j_rcs, j_coors, j_mask)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(), **TOL)
+
+
+# -------------------------------------------------------- SECOND + SECONDFPN
+def test_second_backbone_forward_parity(rng):
+    ref_mod = refshim.load_second()
+    tm = ref_mod.SECOND(
+        in_channels=8, out_channels=[8, 16, 32], layer_nums=[1, 1, 1],
+        layer_strides=[2, 2, 2],
+        norm_cfg=dict(type="BN", eps=1e-3, momentum=0.01),
+    ).eval()
+    _randomize_params(tm, rng)
+    _randomize_bn_stats(tm, rng)
+
+    x = rng.standard_normal((2, 8, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x))
+
+    from rcbevdet_tpu.models.fpn import SECOND
+
+    jm = SECOND(out_channels=(8, 16, 32), layer_nums=(1, 1, 1),
+                layer_strides=(2, 2, 2))
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    variables = _convert(tm, "radar_bev_backbone.", variables,
+                         ("radar_bev_backbone",))
+    j_outs = jm.apply(variables, jx)
+    assert len(j_outs) == len(t_outs)
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(j), -1, 1), t.numpy(), **TOL)
+
+
+def test_second_fpn_forward_parity(rng):
+    ref_mod = refshim.load_second_fpn()
+    tm = ref_mod.SECONDFPN(
+        in_channels=[8, 16, 32], out_channels=[8, 8, 8],
+        upsample_strides=[0.5, 1, 2], use_conv_for_no_stride=True,
+        norm_cfg=dict(type="BN", eps=1e-3, momentum=0.01),
+    ).eval()
+    _randomize_params(tm, rng)
+    _randomize_bn_stats(tm, rng)
+
+    feats = [
+        rng.standard_normal((2, 8, 16, 16)).astype(np.float32),
+        rng.standard_normal((2, 16, 8, 8)).astype(np.float32),
+        rng.standard_normal((2, 32, 4, 4)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        t_out = tm([torch.tensor(f) for f in feats])[0]
+
+    from rcbevdet_tpu.models.fpn import SECONDFPN
+
+    jm = SECONDFPN(out_channels=(8, 8, 8), upsample_strides=(0.5, 1, 2),
+                   use_conv_for_no_stride=True)
+    jfeats = [jnp.asarray(np.moveaxis(f, 1, -1)) for f in feats]
+    variables = jm.init(jax.random.PRNGKey(0), jfeats)
+    variables = _convert(tm, "radar_bev_neck.", variables,
+                         ("radar_bev_neck",))
+    j_out = jm.apply(variables, jfeats)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(), **TOL)
