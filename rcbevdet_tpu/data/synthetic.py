@@ -111,12 +111,53 @@ def synthetic_loaders(rng, src_size=(900, 1600)):
     return image_loader, pcd_loader, lidar_loader
 
 
+def correlated_pcd_loader(infos, rng, pts_per_box=6, clutter=20):
+    """Radar returns CLUSTERED AT THE GT BOX CENTERS — learnable synthetic
+    data for end-to-end training runs (the random loader gives data with
+    zero mutual information between inputs and targets).
+
+    The radar pipeline rotates points by -pi/2 ((x,y)->(y,-x),
+    radar_pipeline.py:79-84), so the emitted sensor-frame points are
+    PRE-rotated with the inverse map (x,y)->(-y,x); the compensated
+    velocity columns carry the box velocity through the same pre-rotation.
+    """
+    by_ts = {info["timestamp"]: info for info in infos}
+
+    def pcd_loader(path):
+        # path: synthetic://{NAME}/{timestamp}/{sweep}
+        t = int(path.split("/")[-2])
+        boxes, _ = by_ts[t]["ann_infos"]
+        rows = []
+        for bx in boxes:
+            x, y = bx[0], bx[1]
+            vx, vy = bx[7], bx[8]
+            p = np.zeros((pts_per_box, 18), np.float32)
+            p[:, 0] = -y + rng.standard_normal(pts_per_box) * 0.3
+            p[:, 1] = x + rng.standard_normal(pts_per_box) * 0.3
+            p[:, 2] = rng.uniform(-1, 1, pts_per_box)
+            p[:, 5] = rng.uniform(1, 20, pts_per_box)  # rcs
+            p[:, 8] = -vy
+            p[:, 9] = vx
+            rows.append(p)
+        c = np.zeros((clutter, 18), np.float32)
+        c[:, 0] = rng.uniform(-40, 40, clutter)
+        c[:, 1] = rng.uniform(-40, 40, clutter)
+        c[:, 5] = rng.uniform(-5, 5, clutter)
+        rows.append(c)
+        return np.concatenate(rows, 0)
+
+    return pcd_loader
+
+
 def synthetic_sample(rng=None, img_config=None, num_adj=8, is_train=True,
-                     num_samples=None, **dataset_kwargs):
+                     num_samples=None, correlated_radar=False,
+                     **dataset_kwargs):
     """One fully-processed sample through the REAL dataset pipeline.
 
     dataset_kwargs forward to NuScenesRCDataset (pc range, radar capacity,
     grid size, ...), so synthetic runs can match any model config.
+    ``correlated_radar`` makes the task learnable (radar clusters at GT
+    centers) for training-run validation.
     """
     from .dataset import NuScenesRCDataset
 
@@ -129,6 +170,8 @@ def synthetic_sample(rng=None, img_config=None, num_adj=8, is_train=True,
         synthetic_info(rng, timestamp=t, box_range=box_range) for t in range(n)
     ]
     img_l, pcd_l, lidar_l = synthetic_loaders(rng, img_config.src_size)
+    if correlated_radar:
+        pcd_l = correlated_pcd_loader(infos, rng)
     ds = NuScenesRCDataset(
         infos, img_config=img_config, is_train=is_train,
         multi_adj_frame_ids=tuple(range(1, num_adj + 1)),

@@ -122,6 +122,15 @@ class CameraBEVBranch(nn.Module):
             self.img_backbone = VoVNetV2(
                 spec=c.vovnet_spec, out_indices=out_idx, name="img_backbone"
             )
+        elif c.img_backbone_type.startswith("swin"):
+            from .swin import SwinTransformer, swin_config
+
+            variant = c.img_backbone_type.split("-")[-1] \
+                if "-" in c.img_backbone_type else "tiny"
+            self.img_backbone = SwinTransformer(
+                out_indices=out_idx, name="img_backbone",
+                **swin_config(variant),
+            )
         else:
             self.img_backbone = ResNet(
                 depth=c.resnet_depth, out_indices=out_idx, name="img_backbone"

@@ -26,6 +26,11 @@ class BatchNorm(nn.Module):
     - ``mask`` restricts batch statistics to valid positions, needed because
       our fixed-capacity padding would otherwise pollute stats with zeros the
       reference never sees (its pillar count is dynamic).
+    - Under pjit/GSPMD with the batch sharded over a mesh, the reductions
+      here are over the GLOBAL logical batch (XLA inserts the cross-device
+      collectives) — i.e. SyncBN semantics from step 0, which is what the
+      reference's SyncbnControlHook switches to (core/hook/syncbncontrol.py
+      :10-32).  Verified by tests/test_multichip.py.
     """
 
     momentum: float = 0.1

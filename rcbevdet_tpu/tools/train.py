@@ -27,7 +27,19 @@ def parse_args(argv=None):
     p.add_argument("--resume-from", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument(
+        "--num-synthetic", type=int, default=None,
+        help="synthetic dataset size (default: num_adj + 2)",
+    )
+    p.add_argument(
+        "--correlated-radar", action="store_true",
+        help="synthetic radar clusters at GT centers (learnable task)",
+    )
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--no-eval", action="store_true",
+        help="skip the every-N-epochs validation loop",
+    )
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument(
         "--cfg-options", nargs="*", default=[],
@@ -67,26 +79,54 @@ def main(argv=None):
 
     model, mcfg = build_model(cfg)
 
+    eval_dataset = None
     if args.synthetic:
         from ..builder import build_image_aug_config
         from ..data.synthetic import synthetic_sample
 
         tcfg = cfg.get("train_cfg", {})
-        _, dataset = synthetic_sample(
+        common = dict(
             num_adj=mcfg.num_adj,
             img_config=build_image_aug_config(cfg),
             point_cloud_range=mcfg.point_cloud_range,
             radar_max_num=cfg.data.get("radar_max_num", 1200),
             grid_size=tuple(tcfg.get("grid_size", (1024, 1024))[:2]),
             voxel_size=tuple(tcfg.get("voxel_size", (0.1, 0.1))[:2]),
-            with_hop_targets=mcfg.with_hop,
             stereo=mcfg.stereo,
+            correlated_radar=args.correlated_radar,
         )
+        _, dataset = synthetic_sample(
+            num_samples=args.num_synthetic,
+            with_hop_targets=mcfg.with_hop, **common,
+        )
+        if not args.no_eval:
+            # held-out split: a different seed and no train-time augmentation
+            _, eval_dataset = synthetic_sample(
+                rng=np.random.default_rng(10_000 + args.seed),
+                num_samples=max((args.num_synthetic or 8) // 4, 4),
+                is_train=False, **common,
+            )
     else:
         dataset = build_dataset(cfg, "train")
+        if not args.no_eval:
+            try:
+                eval_dataset = build_dataset(cfg, "val")
+            except Exception:
+                eval_dataset = None
 
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 8)
     max_epochs = 1 if args.dry_run else cfg.runner["max_epochs"]
+    eval_fn = None
+    if eval_dataset is not None and not args.dry_run:
+        from ..builder import build_test_cfg
+        from ..evaluation.loop import make_eval_fn
+
+        # eval_use_ema=False is right for from-scratch short runs: the EMA
+        # ramp starts at init_updates=10560 (a fine-tuning recipe), so EMA
+        # params barely move over a few hundred steps
+        eval_fn = make_eval_fn(model, eval_dataset,
+                               test_cfg=build_test_cfg(cfg),
+                               use_ema=cfg.get("eval_use_ema", True))
     runner = Runner(
         model, mcfg, dataset,
         batch_size=batch_size,
@@ -101,6 +141,8 @@ def main(argv=None):
         temporal_start_epoch=cfg.get("sequential_control", {}).get(
             "temporal_start_epoch", -1
         ),
+        eval_fn=eval_fn,
+        eval_interval=cfg.get("eval_interval", 4),
         seed=args.seed,
     )
     if args.resume_from:

@@ -47,6 +47,29 @@ RULES: List[Tuple[str, str]] = [
      _CAM + r"img_backbone/layer\1_\2/downsample_conv/kernel"),
     (r"^img_backbone\.layer(\d+)\.(\d+)\.downsample\.1\.(\w+)$",
      _CAM + r"img_backbone/layer\1_\2/downsample_bn/@bn3"),
+    # ---- image backbone (Swin, models/backbones/swin.py) ----
+    (r"^img_backbone\.patch_embed\.projection\.(weight|bias)$",
+     _CAM + r"img_backbone/patch_embed_proj/@conv1"),
+    (r"^img_backbone\.patch_embed\.norm\.(weight|bias)$",
+     _CAM + r"img_backbone/patch_embed_norm/@ln1"),
+    (r"^img_backbone\.stages\.(\d+)\.blocks\.(\d+)\.norm(\d)\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/norm\3/@ln4"),
+    (r"^img_backbone\.stages\.(\d+)\.blocks\.(\d+)\.attn\.w_msa\.relative_position_bias_table$",
+     _CAM + r"img_backbone/stage\1_block\2/attn/relative_position_bias_table"),
+    (r"^img_backbone\.stages\.(\d+)\.blocks\.(\d+)\.attn\.w_msa\.relative_position_index$",
+     "@skip"),  # deterministic buffer, rebuilt from window size
+    (r"^img_backbone\.stages\.(\d+)\.blocks\.(\d+)\.attn\.w_msa\.(qkv|proj)\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/attn/\3/@dense4"),
+    (r"^img_backbone\.stages\.(\d+)\.blocks\.(\d+)\.ffn\.layers\.0\.0\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/ffn_fc1/@dense3"),
+    (r"^img_backbone\.stages\.(\d+)\.blocks\.(\d+)\.ffn\.layers\.1\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/ffn_fc2/@dense3"),
+    (r"^img_backbone\.stages\.(\d+)\.downsample\.norm\.(weight|bias)$",
+     _CAM + r"img_backbone/downsample\1/norm/@ln2"),
+    (r"^img_backbone\.stages\.(\d+)\.downsample\.reduction\.weight$",
+     _CAM + r"img_backbone/downsample\1/reduction/kernel"),
+    (r"^img_backbone\.norm(\d)\.(weight|bias)$",
+     _CAM + r"img_backbone/out_norm\1/@ln2"),
     # ---- image neck (CustomFPN) ----
     (r"^img_neck\.lateral_convs\.(\d+)\.conv\.(weight|bias)$",
      _CAM + r"img_neck/lateral_\1/@conv2"),
@@ -235,6 +258,8 @@ def map_reference_key(key: str, second_layer_nums=(3, 5, 5)) -> Optional[Tuple[s
             else:
                 leaf_name = _CONV_LEAF[leaf]
             out = out.replace(marker.group(0), leaf_name)
+        if out.startswith("@skip"):
+            return "@skip"  # deliberately-unloaded key (deterministic buffer)
         if "@deconv_or_conv" in out:
             out = out.replace("@deconv_or_conv/kernel", "deconv/kernel")
         return tuple(out.split("/"))
@@ -260,6 +285,8 @@ def load_reference_checkpoint(state_dict, variables, strict=False,
     unmapped = []
     for key, arr in converted.items():
         path = map_reference_key(key)
+        if path == "@skip":
+            continue
         if path is None:
             if not key.endswith("num_batches_tracked"):
                 unmapped.append(key)

@@ -383,11 +383,47 @@ def install():
     transformer.FFN = FFN
     bricks.transformer = transformer
     cnn.bricks = bricks
+    cnn.trunc_normal_init = lambda t, std=0.02, **k: None
+    cnn.constant_init = lambda m, val=0, **k: None
+
+    def build_dropout(cfg):
+        cfg = dict(cfg) if cfg else dict(type="Dropout", drop_prob=0.0)
+        t = cfg.pop("type")
+        if t == "DropPath":
+            return DropPath(cfg.get("drop_prob", 0.0))
+        return nn.Dropout(cfg.get("drop_prob", 0.0))
+
+    transformer.build_dropout = build_dropout
+    registry = _module("mmcv.cnn.bricks.registry")
+    registry.ATTENTION = Registry("ATTENTION")
+    bricks.registry = registry
+    utils_mod = _module("mmcv.cnn.utils")
+    wi = _module("mmcv.cnn.utils.weight_init")
+    wi.constant_init = cnn.constant_init
+    wi.trunc_normal_init = cnn.trunc_normal_init
+    utils_mod.weight_init = wi
+    cnn.utils = utils_mod
+
     runner = _module("mmcv.runner")
     runner.BaseModule = BaseModule
     runner.force_fp32 = force_fp32
     runner.auto_fp16 = auto_fp16
+    runner._load_checkpoint = _stub
+    rbm = _module("mmcv.runner.base_module")
+    rbm.BaseModule = BaseModule
+    rbm.ModuleList = nn.ModuleList
+    runner.base_module = rbm
     mmcv.runner = runner
+
+    mmseg = _module("mmseg")
+    mmseg_ops = _module("mmseg.ops")
+    mmseg_ops.resize = lambda *a, **k: torch.nn.functional.interpolate(*a, **k)
+    mmseg.ops = mmseg_ops
+
+    m3d_utils = _module("mmdet3d.utils")
+    import logging as _logging
+
+    m3d_utils.get_root_logger = lambda *a, **k: _logging.getLogger("ref")
 
     timm = _module("timm")
     tmodels = _module("timm.models")

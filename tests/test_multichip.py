@@ -131,3 +131,58 @@ def test_host_local_batch_matches_global(rng):
     )
     assert b["x"].shape == (8, 4)
     assert len(b["x"].sharding.device_set) == 8
+
+
+def test_batchnorm_global_batch_stats_under_gspmd(rng):
+    """BatchNorm under pjit computes GLOBAL-batch statistics even when the
+    batch is sharded 8 ways — the SyncBN equivalent (reference
+    core/hook/syncbncontrol.py:10-32 converts BN to SyncBN so stats span
+    the global batch; GSPMD gives those semantics by construction, XLA
+    inserts the cross-device reduction)."""
+    import flax.linen as fnn
+
+    from rcbevdet_tpu.models.layers import BatchNorm
+
+    class M(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train):
+            return BatchNorm(momentum=0.1, name="bn")(
+                x, use_running_average=not train, update_stats=True
+            )
+
+    m = M()
+    x = rng.standard_normal((8, 4, 3)).astype(np.float32)
+    # make per-device slices statistically distinct so local-BN would differ
+    x[0::2] += 5.0
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]), True)
+
+    # single-device oracle: full batch on one device
+    ref_out, ref_updates = m.apply(
+        variables, jnp.asarray(x), True, mutable=["batch_stats"]
+    )
+
+    mesh = create_mesh(jax.devices()[:8])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    vs = replicate(mesh, variables)
+    out, updates = jax.jit(
+        lambda v, x: m.apply(v, x, True, mutable=["batch_stats"])
+    )(vs, xs)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["bn"]["mean"]),
+        np.asarray(ref_updates["batch_stats"]["bn"]["mean"]),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["bn"]["var"]),
+        np.asarray(ref_updates["batch_stats"]["bn"]["var"]),
+        rtol=1e-5, atol=1e-5)
+    # sanity: the stats really reflect the global batch, not device 0's slice
+    local_mean = x[:1].reshape(-1, 3).mean(0)
+    global_mean = x.reshape(-1, 3).mean(0)
+    got = np.asarray(updates["batch_stats"]["bn"]["mean"])
+    assert np.abs(got - 0.1 * global_mean).max() < 1e-4
+    assert np.abs(got - 0.1 * local_mean).max() > 0.1

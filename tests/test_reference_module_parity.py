@@ -362,3 +362,36 @@ def test_second_fpn_forward_parity(rng):
     j_out = jm.apply(variables, jfeats)
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(), **TOL)
+
+
+# ---------------------------------------------------------------------- Swin
+def test_swin_transformer_forward_parity(rng):
+    import refshim as rs
+
+    rs.install()
+    ref_mod = rs._load_by_path("mmdet3d/models/backbones/swin.py")
+    tm = ref_mod.SwinTransformer(
+        embed_dims=32, depths=(2, 2), num_heads=(2, 4), window_size=4,
+        out_indices=(0, 1), drop_path_rate=0.0, with_cp=False,
+        return_stereo_feat=False,
+    )
+    tm.eval()  # the reference train() override returns None, can't chain
+    _randomize_params(tm, rng)
+
+    x = rng.standard_normal((2, 3, 17, 23)).astype(np.float32)  # odd dims
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x))
+
+    from rcbevdet_tpu.models.swin import SwinTransformer
+
+    jm = SwinTransformer(embed_dims=32, depths=(2, 2), num_heads=(2, 4),
+                         window_size=4, out_indices=(0, 1))
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    variables = _convert(tm, "img_backbone.", variables,
+                         ("camera", "img_backbone"))
+    j_outs = jm.apply(variables, jx)
+    assert len(j_outs) == len(t_outs)
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(j), -1, 1), t.numpy(), **TOL)
