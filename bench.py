@@ -4,9 +4,19 @@ Reproduces the reference's FPS-measurement semantics
 (tools/analysis_tools/benchmark_sequential.py, SURVEY.md §3.4): cached
 previous BEV features + key-frame-only camera compute — i.e. the
 incremental per-timestep cost of the deployed detector — NOT 9 full
-forward passes.  Baseline: 21-28 FPS on an RTX 3090 (reference README.md).
+forward passes.  Baseline: 21-28 FPS on an RTX 3090 (reference README.md);
+the reference loop times model(return_loss=False, rescale=True) which
+includes its CUDA rotated NMS, so we report the device-graph FPS *and* the
+end-to-end FPS including our host-side Scale-NMS, and use the end-to-end
+number as the headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the required {"metric", "value", "unit",
+"vs_baseline"} plus self-describing extras: ms/frame, GFLOPs/frame (XLA
+cost analysis), MFU vs the chip's bf16 peak, dtype of the winning config,
+and the host-NMS cost.  Both float32 and bfloat16 activation paths are
+measured (params stay f32 master copies; bf16 casts the conv/linear
+kernels and image inputs — BN statistics and LSS geometry remain f32, see
+models/layers.py BatchNorm).
 """
 
 import json
@@ -18,14 +28,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# Peak dense-matmul throughput per chip by device_kind substring, FLOP/s.
+# (bf16 MXU peak; f32 lowers to bf16-multipass on these chips.)
+_PEAK_BF16 = {
+    "v5 lite": 197e12,  # TPU v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,  # Trillium
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for k, v in _PEAK_BF16.items():
+        if k in kind:
+            return v
+    return 197e12
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from __graft_entry__ import _enable_compile_cache, _example_batch
+    from rcbevdet_tpu.inference import decode_predictions, postprocess_sample
     from rcbevdet_tpu.models import RCBEVDet, RCBEVDetConfig
-    from rcbevdet_tpu.inference import decode_predictions
-    from __graft_entry__ import _example_batch
+    _enable_compile_cache()
 
     num_adj = 8
     cfg = RCBEVDetConfig(num_adj=num_adj, freeze_img=True)
@@ -43,51 +72,122 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), full, train=False)
 
     ny = nx = cfg.bev_size
-    prev_bev = jnp.asarray(
+    prev_bev0 = jnp.asarray(
         rng.standard_normal((1, num_adj, ny, nx, cfg.num_trans_channels)),
         jnp.float32,
     )
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
-    @jax.jit
-    def step(variables, batch, prev_bev, prev_s2k):
-        preds, key_bev = model.apply(
-            variables, batch, prev_bev, prev_s2k, method=RCBEVDet.forward_cached
-        )
-        dec = decode_predictions(preds)
-        # roll the BEV cache like the deployed pipeline would
-        new_prev = jnp.concatenate(
-            [key_bev[:, None], prev_bev[:, :-1]], axis=1
-        )
-        return dec.bboxes, dec.scores, new_prev
+    def make_step():
+        @jax.jit
+        def step(variables, batch, prev_bev, prev_s2k):
+            preds, key_bev = model.apply(
+                variables, batch, prev_bev, prev_s2k,
+                method=RCBEVDet.forward_cached,
+            )
+            dec = decode_predictions(preds)
+            # roll the BEV cache like the deployed pipeline would
+            new_prev = jnp.concatenate(
+                [key_bev[:, None], prev_bev[:, :-1]], axis=1
+            )
+            return dec, new_prev
 
-    # compile + warmup
-    boxes, scores, prev_bev = step(variables, key_batch, prev_bev, prev_s2k)
-    jax.block_until_ready(boxes)
-    warmup = 5
-    for _ in range(warmup):
-        boxes, scores, prev_bev = step(variables, key_batch, prev_bev, prev_s2k)
-    jax.block_until_ready(boxes)
+        return step
 
     iters = int(os.environ.get("BENCH_ITERS", "100"))
+    warmup = 5
+    results = {}
+    dec_f32 = None
+
+    for dtype_name in ("float32", "bfloat16"):
+        if dtype_name == "bfloat16":
+            dt = jnp.bfloat16
+            vbench = {
+                "params": jax.tree_util.tree_map(
+                    lambda x: x.astype(dt)
+                    if x.dtype == jnp.float32 else x,
+                    variables["params"],
+                ),
+                "batch_stats": variables["batch_stats"],
+            }
+            kb = dict(key_batch, imgs=key_batch["imgs"].astype(dt))
+            prev_bev = prev_bev0.astype(dt)
+        else:
+            vbench, kb, prev_bev = variables, key_batch, prev_bev0
+
+        step = make_step()
+        dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
+        jax.block_until_ready(dec.bboxes)
+        if dtype_name == "float32":
+            dec_f32 = jax.device_get(dec)
+        for _ in range(warmup):
+            dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
+        jax.block_until_ready(dec.bboxes)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
+        jax.block_until_ready(dec.bboxes)
+        dev_s = (time.perf_counter() - t0) / iters
+
+        # cost analysis via the SAME jitted function (hits the persistent
+        # compile cache rather than recompiling a fresh wrapper)
+        compiled = step.lower(vbench, kb, prev_bev, prev_s2k).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        results[dtype_name] = {
+            "fps_device": 1.0 / dev_s,
+            "ms_per_frame_device": dev_s * 1e3,
+            "gflops_per_frame": cost.get("flops", float("nan")) / 1e9,
+        }
+
+    # host-side Scale-NMS cost, measured on the f32 decode output
+    # (the reference's timed loop includes its CUDA rotated NMS)
+    d = dec_f32
+    postprocess_sample(d.bboxes[0], d.scores[0], d.labels[0], d.valid[0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        boxes, scores, prev_bev = step(variables, key_batch, prev_bev, prev_s2k)
-    jax.block_until_ready(boxes)
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+    nms_iters = 20
+    for _ in range(nms_iters):
+        postprocess_sample(d.bboxes[0], d.scores[0], d.labels[0], d.valid[0])
+    host_s = (time.perf_counter() - t0) / nms_iters
+
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev)
+    for r in results.values():
+        r["fps_e2e_incl_host_nms"] = 1.0 / (
+            r["ms_per_frame_device"] / 1e3 + host_s
+        )
+        r["mfu_vs_bf16_peak"] = (
+            r["gflops_per_frame"] * 1e9 * r["fps_device"] / peak
+        )
+
+    best_dtype = max(results, key=lambda k: results[k]["fps_e2e_incl_host_nms"])
+    best = results[best_dtype]
 
     baseline_fps = 24.5  # midpoint of the reference's 21-28 FPS (RTX 3090)
-    print(
-        json.dumps(
-            {
-                "metric": "rcbevdet_r50_cached_sequential_fps",
-                "value": round(fps, 2),
-                "unit": "FPS/chip",
-                "vs_baseline": round(fps / baseline_fps, 3),
+    out = {
+        "metric": "rcbevdet_r50_cached_sequential_fps",
+        "value": round(best["fps_e2e_incl_host_nms"], 2),
+        "unit": "FPS/chip",
+        "vs_baseline": round(best["fps_e2e_incl_host_nms"] / baseline_fps, 3),
+        "includes_host_nms": True,
+        "dtype": best_dtype,
+        "device_kind": getattr(dev, "device_kind", str(dev)),
+        "host_nms_ms": round(host_s * 1e3, 3),
+        "peak_tflops_bf16": peak / 1e12,
+        "per_dtype": {
+            k: {
+                "fps_device": round(r["fps_device"], 2),
+                "fps_e2e_incl_host_nms": round(r["fps_e2e_incl_host_nms"], 2),
+                "ms_per_frame_device": round(r["ms_per_frame_device"], 3),
+                "gflops_per_frame": round(r["gflops_per_frame"], 2),
+                "mfu_vs_bf16_peak": round(r["mfu_vs_bf16_peak"], 4),
             }
-        )
-    )
+            for k, r in results.items()
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -90,6 +90,7 @@ def build_dataset(cfg: Config, split="train", **overrides) -> NuScenesRCDataset:
         max_objs=tcfg.get("max_objs", 500),
         with_depth_gt=(split == "train"),
         with_hop_targets=(split == "train" and mc.with_hop),
+        hop_aux_task_groups=mc.hop_aux_task_groups if mc.with_hop else None,
         stereo=mc.stereo,
     )
     kwargs.update(overrides)

@@ -68,6 +68,71 @@ def draw_heatmap_gaussian_np(heatmap, center, radius, k=1.0):
     return heatmap
 
 
+def gaussian_radius_batch(height, width, min_overlap=0.5):
+    """Elementwise JAX version of ``gaussian_radius_np`` for [...]-shaped
+    box sizes (CornerNet radius, core/utils/gaussian.py:108-137)."""
+    a1 = 1.0
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    r1 = (b1 + jnp.sqrt(jnp.maximum(b1**2 - 4 * a1 * c1, 0.0))) / 2
+
+    a2 = 4.0
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    r2 = (b2 + jnp.sqrt(jnp.maximum(b2**2 - 4 * a2 * c2, 0.0))) / 2
+
+    a3 = 4.0 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))) / 2
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+def render_gaussian_masked(cx, cy, radius, mask, shape, r_max=16):
+    """Max-composited gaussian bumps: [B, M] centers -> [B, H, W].
+
+    The JAX equivalent of looping ``draw_heatmap_gaussian`` over GT boxes
+    (used by the distillation response mask; reference
+    calculate_box_mask_gaussian): each valid box contributes a gaussian
+    with sigma = (2r+1)/6 over a (2r+1)^2 window; windows are clamped to a
+    static ``r_max`` (negligible beyond ~3 sigma) and composite by max.
+
+    Args:
+      cx, cy: [B, M] float center coordinates in output-grid pixels.
+      radius: [B, M] float radii (int-truncated like the reference).
+      mask: [B, M] validity.
+      shape: (H, W) static.
+    """
+    h, w = shape
+    r_int = jnp.clip(jnp.floor(radius), 0, r_max).astype(jnp.int32)
+    d = jnp.arange(-r_max, r_max + 1)
+    dyy, dxx = jnp.meshgrid(d, d, indexing="ij")  # [win, win]
+    d2 = (dxx**2 + dyy**2).astype(jnp.float32)
+
+    def one(cx_b, cy_b, r_b, m_b):
+        sigma = (2.0 * r_b.astype(jnp.float32) + 1.0) / 6.0
+        g = jnp.exp(-d2[None] / (2.0 * sigma[:, None, None] ** 2))
+        inside = (jnp.abs(dxx)[None] <= r_b[:, None, None]) & (
+            jnp.abs(dyy)[None] <= r_b[:, None, None]
+        )
+        ys = jnp.floor(cy_b)[:, None, None].astype(jnp.int32) + dyy[None]
+        xs = jnp.floor(cx_b)[:, None, None].astype(jnp.int32) + dxx[None]
+        ok = (
+            (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+            & inside & (m_b[:, None, None] > 0)
+        )
+        idx = jnp.where(ok, ys * w + xs, h * w)
+        out = jnp.zeros((h * w + 1,), jnp.float32)
+        out = out.at[idx.reshape(-1)].max(
+            jnp.where(ok, g, 0.0).reshape(-1), mode="drop"
+        )
+        return out[: h * w].reshape(h, w)
+
+    import jax
+
+    return jax.vmap(one)(cx, cy, r_int, mask)
+
+
 def render_rcs_maps(centers_xy, radius, rcs_value, pillar_mask, ny, nx, r_max=16):
     """Render the RCS scatter's [heatmap, rcs-feat] channels for one sample.
 

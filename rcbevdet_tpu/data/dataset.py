@@ -52,6 +52,7 @@ class NuScenesRCDataset:
         max_objs: int = 500,
         with_depth_gt: bool = True,
         with_hop_targets: bool = False,
+        hop_aux_task_groups=None,
         stereo: bool = False,
         use_valid_flag: bool = True,
         seed: int = 0,
@@ -81,6 +82,10 @@ class NuScenesRCDataset:
         self.max_objs = max_objs
         self.with_depth_gt = with_depth_gt
         self.with_hop_targets = with_hop_targets
+        self.hop_aux_task_groups = (
+            tuple(map(tuple, hop_aux_task_groups))
+            if hop_aux_task_groups else None
+        )
         self.rng = np.random.default_rng(seed)
         self.image_loader = image_loader
         self.pcd_loader = pcd_loader
@@ -200,16 +205,33 @@ class NuScenesRCDataset:
                 )
                 aux_boxes, aux_labels = aux_boxes[keep], aux_labels[keep]
                 aux_boxes[:, 6] = limit_period(aux_boxes[:, 6], 0.5, 2 * np.pi)
-            aux_t = centerpoint_targets_single(
-                aux_boxes, aux_labels, num_classes=len(self.classes),
+            tkw = dict(
                 grid_size=self.grid_size, point_cloud_range=self.pc_range,
                 voxel_size=self.voxel_size,
                 out_size_factor=self.out_size_factor, max_objs=self.max_objs,
             )
-            sample["aux_heatmap_t"] = aux_t.heatmap
-            sample["aux_anno_box_t"] = aux_t.anno_box
-            sample["aux_inds_t"] = aux_t.inds.astype(np.int32)
-            sample["aux_mask_t"] = aux_t.mask
+            if self.hop_aux_task_groups:
+                # per-task targets for the reference's 6-task aux grouping
+                # (det-...-withHoP-...py:194-200)
+                from ..core.targets import centerpoint_targets_multi_task
+
+                per_task = centerpoint_targets_multi_task(
+                    aux_boxes, aux_labels, self.hop_aux_task_groups, **tkw
+                )
+                for tid, t in enumerate(per_task):
+                    sample[f"aux{tid}_heatmap_t"] = t.heatmap
+                    sample[f"aux{tid}_anno_box_t"] = t.anno_box
+                    sample[f"aux{tid}_inds_t"] = t.inds.astype(np.int32)
+                    sample[f"aux{tid}_mask_t"] = t.mask
+            else:
+                aux_t = centerpoint_targets_single(
+                    aux_boxes, aux_labels, num_classes=len(self.classes),
+                    **tkw,
+                )
+                sample["aux_heatmap_t"] = aux_t.heatmap
+                sample["aux_anno_box_t"] = aux_t.anno_box
+                sample["aux_inds_t"] = aux_t.inds.astype(np.int32)
+                sample["aux_mask_t"] = aux_t.mask
 
         # ---- radar ----
         if "radars" in info:

@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from ..ops.voxelize import voxelize_pillars
 from .camf import CAMF
-from .centerpoint_head import CenterHead
+from .centerpoint_head import CenterHead, MultiTaskCenterHead
 from .fpn import FPN_LSS, SECOND, SECONDFPN, CustomFPN
 from .pillar_scatter import PointPillarsScatterRCS
 from .radar_encoder import RadarBEVNet
@@ -66,6 +66,7 @@ class RCBEVDetConfig:
     )
     aspp_mid_channels: int = 96
     depth_net_type: str = "bevdepth"  # 'simple' -> BEVDet/BEVDet4D family
+    bev_pool_impl: str = "xla"  # 'xla' segment-sum | 'pallas' fused kernel
     # radar branch
     use_radar: bool = True
     radar_in_channels: int = 7
@@ -88,6 +89,12 @@ class RCBEVDetConfig:
     # HoP auxiliary supervision (reference HoPBEVDepth4D, bevdet.py:1450)
     with_hop: bool = False
     hop_embed_dims: int = 160
+    # Aux-head class grouping: the reference HoP recipe groups the 10
+    # nuScenes classes into 6 CenterPoint tasks
+    # (det-...-withHoP-...py:194-200); None -> single-task aux head.
+    hop_aux_task_groups: Any = (
+        (0,), (1, 2), (3, 4), (5,), (6, 7), (8, 9)
+    )
     # BEVStereo temporal-stereo cost volume (reference BEVStereo4D,
     # bevdet.py:1012 / BEVStereo4D_RC, bevdet_rc.py:865); requires one extra
     # reference frame in the inputs and k2s_sensor transforms.
@@ -147,6 +154,7 @@ class CameraBEVBranch(nn.Module):
             aspp_mid_channels=c.aspp_mid_channels,
             depth_net_type=c.depth_net_type,
             stereo=c.stereo,
+            bev_pool_impl=c.bev_pool_impl,
             name="img_view_transformer",
         )
         self.pre_process = CustomResNet(
@@ -245,10 +253,17 @@ class RCBEVDet(nn.Module):
                 out_channels=c.imc,
                 name="history_decoder",
             )
-            self.aux_bbox_head = CenterHead(
-                in_channels=c.imc, num_classes=c.num_classes,
-                name="aux_bbox_head",
-            )
+            if c.hop_aux_task_groups:
+                self.aux_bbox_head = MultiTaskCenterHead(
+                    in_channels=c.imc,
+                    task_groups=tuple(map(tuple, c.hop_aux_task_groups)),
+                    name="aux_bbox_head",
+                )
+            else:
+                self.aux_bbox_head = CenterHead(
+                    in_channels=c.imc, num_classes=c.num_classes,
+                    name="aux_bbox_head",
+                )
 
     def _stereo_cost_volumes(self, imgs, k2s_sensor, intrins, post_rots,
                              post_trans, train):
@@ -447,7 +462,8 @@ class RCBEVDet(nn.Module):
         preds = self.head(x, train=False)
         return preds, key_bev
 
-    def __call__(self, batch, train=False, with_prev=True):
+    def __call__(self, batch, train=False, with_prev=True,
+                 return_feats=False):
         """batch: dict with
           imgs [B, F, N, H, W, 3], sensor2keyegos [B, F, N, 4, 4],
           intrins/post_rots [B, F, N, 3, 3], post_trans [B, F, N, 3],
@@ -457,6 +473,9 @@ class RCBEVDet(nn.Module):
         Returns (head predictions dict NHWC, key-frame depth [B,N,Hf,Wf,D]);
         with cfg.with_hop and train=True, additionally returns the HoP
         auxiliary head predictions for the reconstructed t-1 frame.
+        ``return_feats=True`` appends the fused pre-head BEV feature
+        [B, ny, nx, imc] (the distillation tap — the reference distiller
+        hooks the detector's neck output, train_distiller.py).
         """
         img_bev, depth, frames = self.extract_img_feat(
             batch["imgs"], batch["sensor2keyegos"], batch["intrins"],
@@ -479,5 +498,9 @@ class RCBEVDet(nn.Module):
             wo_tm1 = jnp.concatenate([frames[:, :1], frames[:, 2:]], axis=1)
             recon = self.history_decoder(wo_tm1)
             aux_preds = self.aux_bbox_head(recon, train=train)
+            if return_feats:
+                return preds, depth, aux_preds, fused
             return preds, depth, aux_preds
+        if return_feats:
+            return preds, depth, fused
         return preds, depth

@@ -53,24 +53,29 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     keep = jnp.asarray([0, 1, 3])
     l02l1 = l02l1[:, keep][:, :, keep]  # [B, 3, 3]
 
+    # homography math stays f32 even under bf16 activations: TPU LU
+    # decomposition supports f32 only, and bf16 grid coords would misplace
+    # the warp by whole cells
     feat2bev = jnp.array(
         [
             [grid_interval[0], 0.0, grid_lower_bound[0]],
             [0.0, grid_interval[1], grid_lower_bound[1]],
             [0.0, 0.0, 1.0],
         ],
-        feat.dtype,
+        jnp.float32,
     )
+    l02l1 = l02l1.astype(jnp.float32)
     tf = jnp.linalg.inv(feat2bev)[None] @ l02l1 @ feat2bev[None]  # [B, 3, 3]
 
-    xs = jnp.arange(w, dtype=feat.dtype)
-    ys = jnp.arange(h, dtype=feat.dtype)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
     xx, yy = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
     grid = jnp.stack([xx, yy, jnp.ones_like(xx)], -1)  # [H, W, 3]
     warped = jnp.einsum("bij,hwj->bhwi", tf, grid)
     gx = warped[..., 0] / (w - 1.0) * 2.0 - 1.0
     gy = warped[..., 1] / (h - 1.0) * 2.0 - 1.0
     g = jnp.stack([gx, gy], -1)  # [B, H, W, 2]
-    return jax.vmap(lambda f, gg: grid_sample_2d(f, gg, align_corners=True))(
+    out = jax.vmap(lambda f, gg: grid_sample_2d(f, gg, align_corners=True))(
         feat, g
     )
+    return out.astype(feat.dtype)

@@ -287,6 +287,10 @@ class LSSViewTransformerBEVDepth(nn.Module):
     aspp_mid_channels: int = 96
     depth_net_type: str = "bevdepth"
     stereo: bool = False
+    # 'xla' = segment-sum (ops/bev_pool.py); 'pallas' = fused VMEM-resident
+    # kernel (ops/bev_pool_pallas.py).  A/B'd on-chip by tools/ab_bev_pool.py;
+    # see BENCH notes for which wins at which shapes.
+    bev_pool_impl: str = "xla"
 
     @property
     def depth_bins(self):
@@ -359,14 +363,28 @@ class LSSViewTransformerBEVDepth(nn.Module):
         rf = jnp.arange(n * hf * wf, dtype=jnp.int32).reshape(n, 1, hf * wf)
         ranks_feat = jnp.broadcast_to(rf, (n, num_d, hf * wf)).reshape(-1)
 
-        out = bev_pool_batch(
-            depth_ndhw,
-            feat,
-            jnp.broadcast_to(ranks_depth[None], (b, p)),
-            jnp.broadcast_to(ranks_feat[None], (b, p)),
-            ranks_bev.reshape(b, p),
-            nx * ny * nz,
-        )  # [B, nz*ny*nx, C]
+        if self.bev_pool_impl == "pallas":
+            from ..ops.bev_pool_pallas import bev_pool_custom
+
+            out = jax.vmap(
+                bev_pool_custom, in_axes=(0, 0, 0, 0, 0, None)
+            )(
+                depth_ndhw,
+                feat,
+                jnp.broadcast_to(ranks_depth[None], (b, p)),
+                jnp.broadcast_to(ranks_feat[None], (b, p)),
+                ranks_bev.reshape(b, p),
+                nx * ny * nz,
+            )
+        else:
+            out = bev_pool_batch(
+                depth_ndhw,
+                feat,
+                jnp.broadcast_to(ranks_depth[None], (b, p)),
+                jnp.broadcast_to(ranks_feat[None], (b, p)),
+                ranks_bev.reshape(b, p),
+                nx * ny * nz,
+            )  # [B, nz*ny*nx, C]
         # collapse z (nz=1 in all shipped configs): (B, Z, Y, X, C)->[B,Y,X,Z*C]
         out = out.reshape(b, nz, ny, nx, c)
         out = jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)

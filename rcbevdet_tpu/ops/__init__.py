@@ -2,6 +2,7 @@ from .bev_pool import bev_pool, bev_pool_ranks
 from .voxelize import voxelize_pillars
 from .warp import grid_sample_2d, bilinear_resize
 from .deform_attn import ms_deform_attn_core
+from .msmv_sampling import msmv_sampling
 
 __all__ = [
     "bev_pool",
@@ -10,4 +11,5 @@ __all__ = [
     "grid_sample_2d",
     "bilinear_resize",
     "ms_deform_attn_core",
+    "msmv_sampling",
 ]

@@ -97,7 +97,11 @@ def main(argv=None):
         )
         _, dataset = synthetic_sample(
             num_samples=args.num_synthetic,
-            with_hop_targets=mcfg.with_hop, **common,
+            with_hop_targets=mcfg.with_hop,
+            hop_aux_task_groups=(
+                mcfg.hop_aux_task_groups if mcfg.with_hop else None
+            ),
+            **common,
         )
         if not args.no_eval:
             # held-out split: a different seed and no train-time augmentation

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.centerpoint_head import centerpoint_loss
+from ..models.centerpoint_head import centerpoint_loss, multi_task_loss
 from ..models.view_transformer import depth_loss
 from .ema import update_ema
 from .schedules import cyclic_lr, cyclic_momentum
@@ -136,15 +136,34 @@ def make_train_step(
                 batch["gt_depth"], depth, cfg.downsample,
                 cfg.grid_config["depth"], weight=loss_depth_weight,
             )
-        if len(outputs) > 2 and "aux_heatmap_t" in batch:
+        if len(outputs) > 2:
             # HoP auxiliary losses at the reference's 0.5x weights
-            # (det-...-withHoP-...py:213-215: cls 1.0*0.5, bbox 0.25*0.5)
-            aux = centerpoint_loss(
-                outputs[2], batch["aux_heatmap_t"], batch["aux_anno_box_t"],
-                batch["aux_inds_t"], batch["aux_mask_t"],
-                cls_weight=0.5, bbox_weight=0.125,
-            )
-            losses.update({f"aux_{k}": v for k, v in aux.items()})
+            # (det-...-withHoP-...py:216-217: cls 1.0*0.5, bbox 0.25*0.5)
+            aux_preds = outputs[2]
+            if isinstance(aux_preds, (list, tuple)):
+                # 6-task MultiTaskCenterHead (det-...-withHoP-...py:194-200)
+                if "aux0_heatmap_t" in batch:
+                    task_targets = [
+                        (
+                            batch[f"aux{t}_heatmap_t"],
+                            batch[f"aux{t}_anno_box_t"],
+                            batch[f"aux{t}_inds_t"],
+                            batch[f"aux{t}_mask_t"],
+                        )
+                        for t in range(len(aux_preds))
+                    ]
+                    aux = multi_task_loss(
+                        aux_preds, task_targets,
+                        cls_weight=0.5, bbox_weight=0.125,
+                    )
+                    losses.update({f"aux_{k}": v for k, v in aux.items()})
+            elif "aux_heatmap_t" in batch:
+                aux = centerpoint_loss(
+                    aux_preds, batch["aux_heatmap_t"],
+                    batch["aux_anno_box_t"], batch["aux_inds_t"],
+                    batch["aux_mask_t"], cls_weight=0.5, bbox_weight=0.125,
+                )
+                losses.update({f"aux_{k}": v for k, v in aux.items()})
         total = sum(losses.values())
         return total, (losses, updates["batch_stats"])
 

@@ -46,7 +46,8 @@ def test_camera_config_inherits_and_overrides():
     assert mc.num_trans_channels == 80
     assert cfg.runner["max_epochs"] == 8
     tc = build_test_cfg(cfg)
-    assert tc["nms_type"] == "circle"
+    # reference det-...-circlelarger.py:150 ships Scale-NMS (nms_type=['rotate'])
+    assert tc["nms_type"] == "rotate"
 
 
 def test_cfg_options_override():
