@@ -129,6 +129,29 @@ class CameraBEVBranch(nn.Module):
             self.img_backbone = VoVNetV2(
                 spec=c.vovnet_spec, out_indices=out_idx, name="img_backbone"
             )
+        elif c.img_backbone_type.startswith("vit"):
+            from .vit import SimpleFeaturePyramid, ViT, vit_config
+
+            variant = c.img_backbone_type.split("-")[-1] \
+                if "-" in c.img_backbone_type else "base"
+            # pyramid levels p4/p5 (strides 16/32) feed CustomFPN like a
+            # CNN backbone's C4/C5 (RCBEVDet++ ViT-L recipe)
+            self.img_backbone = SimpleFeaturePyramid(
+                net=ViT(name="net", **vit_config(variant)),
+                out_channels=256,
+                scale_factors=(4.0, 2.0, 1.0, 0.5),
+                out_layers=["p4", "p5"],
+                name="img_backbone",
+            )
+        elif c.img_backbone_type.startswith("convnext"):
+            from .convnext import ConvNeXt, convnext_config
+
+            variant = c.img_backbone_type.split("-")[-1] \
+                if "-" in c.img_backbone_type else "tiny"
+            self.img_backbone = ConvNeXt(
+                out_indices=(2, 3), return_stereo_feat=c.stereo,
+                name="img_backbone", **convnext_config(variant),
+            )
         elif c.img_backbone_type.startswith("swin"):
             from .swin import SwinTransformer, swin_config
 

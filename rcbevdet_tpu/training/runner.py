@@ -120,6 +120,20 @@ class Runner:
 
         self._steps = {}  # with_prev -> jitted step
 
+        # TensorBoard scalars mirroring the reference's TensorboardLoggerHook
+        # (configs/_base_/default_runtime.py:6-11, every log_interval iters);
+        # degrades to JSONL-only when tensorboard isn't importable
+        self.tb = None
+        if self.is_main:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(
+                    log_dir=os.path.join(self.work_dir, "tf_logs")
+                )
+            except Exception:
+                pass
+
     def _get_step(self, with_prev: bool):
         if with_prev not in self._steps:
             fn = make_train_step(
@@ -148,6 +162,12 @@ class Runner:
                         epoch, it, self.steps_per_epoch, dt,
                         json.dumps({k: round(v, 4) for k, v in m.items()}),
                     )
+                    if self.tb is not None:
+                        for k, v in m.items():
+                            self.tb.add_scalar(
+                                f"train/{k}", v, global_step
+                            )
+                        self.tb.add_scalar("train/s_per_it", dt, global_step)
             if self.is_main and (epoch + 1) % self.checkpoint_interval == 0:
                 # params/opt state are replicated, so process 0's copy is the
                 # global state; other hosts must not race on the same path
@@ -165,4 +185,10 @@ class Runner:
                         f.write(json.dumps(
                             {"epoch": epoch + 1, **metrics}
                         ) + "\n")
+                    if self.tb is not None:
+                        for k, v in metrics.items():
+                            if isinstance(v, (int, float)):
+                                self.tb.add_scalar(f"val/{k}", v, epoch + 1)
+        if self.tb is not None:
+            self.tb.close()
         return self.state

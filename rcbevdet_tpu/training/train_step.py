@@ -65,7 +65,12 @@ def make_optimizer(
     grad_clip=5.0,
     freeze_img=True,
     params=None,
+    layer_decay=None,
+    layer_decay_num_layers=None,
 ):
+    """``layer_decay``: ViT layer-wise LR decay rate (e.g. 0.9); scales
+    the final update per image-backbone block like the reference's
+    LearningRateDecayOptimizerConstructor param groups."""
     lr_fn = cyclic_lr(base_lr, total_steps)
     b1_fn = cyclic_momentum(0.9, total_steps)
     parts = []
@@ -84,11 +89,79 @@ def make_optimizer(
             )
         )(learning_rate=lr_fn, b1=b1_fn)
     )
+    if layer_decay is not None and params is not None:
+        parts.append(
+            scale_updates_by(
+                layer_decay_factors(
+                    params, layer_decay, layer_decay_num_layers
+                )
+            )
+        )
     if freeze_img and params is not None:
         # ... and zero the final updates as well: adamw's decoupled weight
         # decay adds -lr*wd*param even where the gradient is zero.
         parts.append(optax.masked(optax.set_to_zero(), _inverted_mask(params)))
     return optax.chain(*parts)
+
+
+def layer_decay_factors(params, decay=0.9, num_layers=None,
+                        backbone_key="camera"):
+    """Per-leaf LR multipliers for ViT layer-wise decay.
+
+    Counterpart of the reference's LearningRateDecayOptimizerConstructor +
+    LrDecayControlHook (models/utils/layer_decay_optimizer_constructor.py,
+    core/hook/lrdecaycontrol.py): backbone block i gets
+    decay^(num_layers - i), the patch/pos embeddings get
+    decay^(num_layers + 1), everything outside the image backbone gets 1.
+
+    Layer ids are parsed from flax paths containing ``block{i}`` under the
+    image backbone subtree.
+    """
+    import re as _re
+
+    del backbone_key
+    flat = flax.traverse_util.flatten_dict(params)
+    ids = []
+    for k in flat:
+        if "img_backbone" not in k:
+            continue
+        for part in k:
+            m = _re.fullmatch(r"block(\d+)", part)
+            if m:
+                ids.append(int(m.group(1)))
+                break
+    n = num_layers if num_layers is not None else (max(ids) + 1 if ids else 0)
+
+    def factor(path):
+        in_backbone = "img_backbone" in path
+        if not in_backbone:
+            return 1.0
+        for part in path:
+            m = _re.fullmatch(r"block(\d+)", part)
+            if m:
+                return decay ** (n - int(m.group(1)))
+        # embeddings / stems sit below every block
+        return decay ** (n + 1)
+
+    return flax.traverse_util.unflatten_dict(
+        {k: factor(k) for k in flat}
+    )
+
+
+def scale_updates_by(factors):
+    """optax transform multiplying updates leafwise by a static pytree."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(lambda u, f: u * f, updates, factors),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def _inverted_mask(params):

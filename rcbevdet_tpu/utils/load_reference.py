@@ -70,6 +70,24 @@ RULES: List[Tuple[str, str]] = [
      _CAM + r"img_backbone/downsample\1/reduction/kernel"),
     (r"^img_backbone\.norm(\d)\.(weight|bias)$",
      _CAM + r"img_backbone/out_norm\1/@ln2"),
+    # ---- image backbone (ConvNeXt, models/backbones/convnext.py) ----
+    (r"^img_backbone\.downsample_layers\.0\.0\.(weight|bias)$",
+     _CAM + r"img_backbone/stem_conv/@conv1"),
+    (r"^img_backbone\.downsample_layers\.0\.1\.(weight|bias)$",
+     _CAM + r"img_backbone/stem_norm/@ln1"),
+    (r"^img_backbone\.downsample_layers\.([123])\.0\.(weight|bias)$",
+     _CAM + r"img_backbone/down\1_norm/@ln2"),
+    (r"^img_backbone\.downsample_layers\.([123])\.1\.(weight|bias)$",
+     _CAM + r"img_backbone/down\1_conv/@conv2"),
+    (r"^img_backbone\.stages\.(\d+)\.(\d+)\.dwconv\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/dwconv/@conv3"),
+    (r"^img_backbone\.stages\.(\d+)\.(\d+)\.norm\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/norm/@ln3"),
+    (r"^img_backbone\.stages\.(\d+)\.(\d+)\.pwconv(\d)\.(weight|bias)$",
+     _CAM + r"img_backbone/stage\1_block\2/pwconv\3/@dense4"),
+    (r"^img_backbone\.stages\.(\d+)\.(\d+)\.gamma$",
+     _CAM + r"img_backbone/stage\1_block\2/gamma"),
+    # (img_backbone.norm{i} out-norms shared with the Swin rule above)
     # ---- image neck (CustomFPN) ----
     (r"^img_neck\.lateral_convs\.(\d+)\.conv\.(weight|bias)$",
      _CAM + r"img_neck/lateral_\1/@conv2"),

@@ -431,10 +431,14 @@ def install():
     tlayers.DropPath = DropPath
     tlayers.Mlp = TimmMlp
     tlayers.to_2tuple = to_2tuple
+    tlayers.trunc_normal_ = lambda t, std=0.02, **k: t  # init-only (convnext)
     tmodels.layers = tlayers
     timm.models = tmodels
 
     mmdet = _module("mmdet")
+    mutils = _module("mmdet.utils")
+    mutils.get_root_logger = lambda *a, **k: _logging.getLogger("ref")
+    mmdet.utils = mutils
     mcore = _module("mmdet.core")
     mcore.build_bbox_coder = build_bbox_coder
     mcore.multi_apply = multi_apply

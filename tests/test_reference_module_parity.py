@@ -364,6 +364,40 @@ def test_second_fpn_forward_parity(rng):
         np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(), **TOL)
 
 
+# ------------------------------------------------------------------ ConvNeXt
+def test_convnext_forward_parity(rng):
+    import refshim as rs
+
+    rs.install()
+    ref_mod = rs._load_by_path("mmdet3d/models/backbones/convnext.py")
+    tm = ref_mod.ConvNeXt(
+        in_chans=3, depths=[2, 2, 3, 2], dims=[16, 32, 48, 64],
+        drop_path_rate=0.0, out_indices=(2, 3), return_stereo_feat=True,
+    )
+    tm.eval()
+    _randomize_params(tm, rng)
+
+    x = rng.standard_normal((2, 3, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x))
+
+    from rcbevdet_tpu.models.convnext import ConvNeXt
+
+    jm = ConvNeXt(
+        depths=(2, 2, 3, 2), dims=(16, 32, 48, 64), out_indices=(2, 3),
+        return_stereo_feat=True,
+    )
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    variables = _convert(tm, "img_backbone.", variables,
+                         ("camera", "img_backbone"))
+    j_outs = jm.apply(variables, jx)
+    assert len(j_outs) == len(t_outs) == 3  # stereo tap + 2 out stages
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(j), -1, 1), t.numpy(), **TOL)
+
+
 # ---------------------------------------------------------------------- Swin
 def test_swin_transformer_forward_parity(rng):
     import refshim as rs
