@@ -124,6 +124,19 @@ def main():
             dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
         jax.block_until_ready(dec.bboxes)
 
+        if os.environ.get("BENCH_DEBUG"):
+            for i in range(8):
+                t0 = time.perf_counter()
+                dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
+                t_disp = time.perf_counter() - t0
+                jax.block_until_ready(dec.bboxes)
+                print(
+                    f"[debug {dtype_name}] call {i}: dispatch "
+                    f"{t_disp*1e3:.2f} ms, total "
+                    f"{(time.perf_counter()-t0)*1e3:.2f} ms",
+                    file=sys.stderr,
+                )
+
         t0 = time.perf_counter()
         for _ in range(iters):
             dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)

@@ -55,6 +55,7 @@ class NuScenesRCDataset:
         hop_aux_task_groups=None,
         stereo: bool = False,
         use_valid_flag: bool = True,
+        object_sampler=None,
         seed: int = 0,
         image_loader=None,
         pcd_loader=None,
@@ -86,6 +87,11 @@ class NuScenesRCDataset:
             tuple(map(tuple, hop_aux_task_groups))
             if hop_aux_task_groups else None
         )
+        # GT-paste augmentation (data/dbsampler.py); the runner toggles
+        # object_sample_enabled off for the fade epochs
+        # (FadeOjectSampleHook counterpart)
+        self.object_sampler = object_sampler
+        self.object_sample_enabled = object_sampler is not None
         self.rng = np.random.default_rng(seed)
         self.image_loader = image_loader
         self.pcd_loader = pcd_loader
@@ -154,6 +160,14 @@ class NuScenesRCDataset:
         gt_boxes, gt_labels = info["ann_infos"]
         gt_boxes = np.asarray(gt_boxes, np.float32).reshape(-1, 9)
         gt_labels = np.asarray(gt_labels, np.int64).reshape(-1)
+        pasted_radar = None
+        if (self.object_sampler is not None and self.object_sample_enabled
+                and self.is_train):
+            # GT-paste BEFORE BDA, like the reference's ObjectSample stage
+            # running ahead of GlobalRotScaleTrans (config pipeline order)
+            gt_boxes, gt_labels, pasted_radar = self.object_sampler.sample(
+                gt_boxes, gt_labels
+            )
         rot, scale, flip_dx, flip_dy = self.sample_bda()
         gt_boxes, bda = transform_boxes_bda(gt_boxes, rot, scale, flip_dx, flip_dy)
         sample["bda"] = bda
@@ -239,6 +253,10 @@ class NuScenesRCDataset:
                 info["radars"], sweeps_num=self.radar_sweeps,
                 pcd_loader=self.pcd_loader,
             )
+            if pasted_radar is not None and len(pasted_radar):
+                pts = np.concatenate(
+                    [pts, pasted_radar[:, : pts.shape[1]]], axis=0
+                )
             pts = transform_radar_points_bda(pts, bda)
             radar, radar_mask = pad_radar_points(
                 pts, self.radar_max_num,

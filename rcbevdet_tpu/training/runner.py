@@ -45,6 +45,7 @@ class Runner:
         log_interval=50,
         checkpoint_interval=1,
         temporal_start_epoch=-1,
+        fade_epoch=-1,
         eval_fn: Optional[Callable] = None,
         eval_interval=4,
         seed=0,
@@ -61,6 +62,9 @@ class Runner:
         self.log_interval = log_interval
         self.checkpoint_interval = checkpoint_interval
         self.temporal_start_epoch = temporal_start_epoch
+        # FadeOjectSampleHook counterpart (core/hook/fade_hook.py): disable
+        # GT-paste augmentation from this epoch on (-1 = never fade)
+        self.fade_epoch = fade_epoch
         self.eval_fn = eval_fn
         self.eval_interval = eval_interval
         os.makedirs(work_dir, exist_ok=True)
@@ -146,6 +150,12 @@ class Runner:
         global_step = self.start_epoch * self.steps_per_epoch
         for epoch in range(self.start_epoch, self.max_epochs):
             with_prev = epoch >= self.temporal_start_epoch
+            if self.fade_epoch >= 0 and epoch >= self.fade_epoch and getattr(
+                self.dataset, "object_sample_enabled", False
+            ):
+                self.dataset.object_sample_enabled = False
+                log.info("epoch %d: object-sample augmentation faded out",
+                         epoch)
             step_fn = self._get_step(with_prev)
             t0 = time.time()
             for it, batch in enumerate(self.loader):
