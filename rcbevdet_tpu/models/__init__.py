@@ -7,6 +7,8 @@ from .centerpoint_head import (
     clip_sigmoid,
 )
 from .hop import HoPTemporalPredictor
+from .rcbevdetpp import RCBEVDetPlusPlus
+from .sparse_decoder import SparseBEVDecoder, set_prediction_loss, hungarian_match
 from .seg_head import BEVSegHead, seg_loss, seg_iou
 from .vovnet import VoVNetV2
 from .temporal import shift_bev

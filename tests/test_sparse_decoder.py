@@ -147,3 +147,38 @@ def test_loss_prefers_correct_boxes(rng):
     worse = set_prediction_loss([(logits, bad_boxes)], gt_boxes, gt_labels,
                                 gt_mask)
     assert float(worse["layer0_loss_box"]) > 0.1
+
+
+def test_rcbevdetpp_assembly(rng):
+    """Full RCBEVDet++ forward + loss + grads on tiny shapes."""
+    from rcbevdet_tpu.models import RCBEVDetPlusPlus
+
+    model = RCBEVDetPlusPlus(
+        dim=32, num_queries=10, num_layers=2, num_points=4, depth=18,
+        point_cloud_range=(-20.0, -20.0, -5.0, 20.0, 20.0, 3.0),
+    )
+    b, n, h, w = 1, 2, 64, 96
+    imgs = jnp.asarray(rng.standard_normal((b, n, h, w, 3)), jnp.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (b, n, 1, 1))
+    l2i[..., 0, 0] = l2i[..., 1, 1] = 40.0
+    meta_l2i = jnp.asarray(l2i)
+    variables = model.init(
+        jax.random.PRNGKey(0), imgs, meta_l2i, (h, w)
+    )
+    gt_boxes = jnp.asarray(rng.uniform(-5, 5, (b, 2, 9)).astype(np.float32))
+    gt_labels = jnp.asarray([[0, 3]])
+    gt_mask = jnp.asarray([[1.0, 1.0]])
+
+    def loss_fn(params):
+        outs = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            imgs, meta_l2i, (h, w), train=True,
+        )
+        return sum(model.loss(outs, gt_boxes, gt_labels, gt_mask).values())
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gsum = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert np.isfinite(gsum) and gsum > 0
