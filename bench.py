@@ -54,6 +54,7 @@ def main():
     from __graft_entry__ import _enable_compile_cache, _example_batch
     from rcbevdet_tpu.inference import decode_predictions, postprocess_sample
     from rcbevdet_tpu.models import RCBEVDet, RCBEVDetConfig
+    from rcbevdet_tpu.utils.platform import tpu_compiler_options
     _enable_compile_cache()
 
     num_adj = 8
@@ -79,7 +80,14 @@ def main():
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
     def make_step():
-        @jax.jit
+        import functools
+
+        # the scoped-VMEM budget is load-bearing: without it the deform-attn
+        # gathers and RCS scatters fall off XLA's fast paths (119 ms/frame
+        # vs 1.0 ms/frame measured on v5e, see utils/platform.py)
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options()
+        )
         def step(variables, batch, prev_bev, prev_s2k):
             preds, key_bev = model.apply(
                 variables, batch, prev_bev, prev_s2k,
@@ -97,8 +105,13 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "100"))
     warmup = 5
     results = {}
-    dec_f32 = None
 
+    # IMPORTANT: the timed loops must never fetch an output of the timed
+    # executable — on this tunneled-TPU harness, a single device_get of an
+    # executable's outputs flips that executable into a mode where every
+    # subsequent call materializes outputs to host (~150 ms/call vs the
+    # real ~1 ms device time).  All host-side work happens after timing,
+    # through a separately-jitted instance.
     for dtype_name in ("float32", "bfloat16"):
         if dtype_name == "bfloat16":
             dt = jnp.bfloat16
@@ -118,8 +131,6 @@ def main():
         step = make_step()
         dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
         jax.block_until_ready(dec.bboxes)
-        if dtype_name == "float32":
-            dec_f32 = jax.device_get(dec)
         for _ in range(warmup):
             dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
         jax.block_until_ready(dec.bboxes)
@@ -145,7 +156,9 @@ def main():
 
         # cost analysis via the SAME jitted function (hits the persistent
         # compile cache rather than recompiling a fresh wrapper)
-        compiled = step.lower(vbench, kb, prev_bev, prev_s2k).compile()
+        compiled = step.lower(vbench, kb, prev_bev, prev_s2k).compile(
+            compiler_options=tpu_compiler_options()
+        )
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
@@ -155,14 +168,21 @@ def main():
             "gflops_per_frame": cost.get("flops", float("nan")) / 1e9,
         }
 
-    # host-side Scale-NMS cost, measured on the f32 decode output
-    # (the reference's timed loop includes its CUDA rotated NMS)
-    d = dec_f32
-    postprocess_sample(d.bboxes[0], d.scores[0], d.labels[0], d.valid[0])
+    # host-side Scale-NMS cost, measured on the f32 decode output, fetched
+    # ONCE through a fresh jit instance so the timed executables above stay
+    # un-poisoned (the reference's timed loop includes its CUDA rotated NMS)
+    step_nms = make_step()
+    dec, _ = step_nms(variables, key_batch, prev_bev0, prev_s2k)
+    t0 = time.perf_counter()
+    bboxes, scores, labels, valid = jax.device_get(
+        (dec.bboxes, dec.scores, dec.labels, dec.valid)
+    )
+    fetch_s = time.perf_counter() - t0
+    postprocess_sample(bboxes[0], scores[0], labels[0], valid[0])
     t0 = time.perf_counter()
     nms_iters = 20
     for _ in range(nms_iters):
-        postprocess_sample(d.bboxes[0], d.scores[0], d.labels[0], d.valid[0])
+        postprocess_sample(bboxes[0], scores[0], labels[0], valid[0])
     host_s = (time.perf_counter() - t0) / nms_iters
 
     dev = jax.devices()[0]
@@ -188,7 +208,17 @@ def main():
         "dtype": best_dtype,
         "device_kind": getattr(dev, "device_kind", str(dev)),
         "host_nms_ms": round(host_s * 1e3, 3),
+        # one-time D2H latency of the decode outputs over this harness's
+        # network-tunneled TPU; on a locally-attached chip this is ~us and
+        # it is NOT part of the per-frame cost (outputs stay on device
+        # between frames), so it is reported separately, not in the FPS
+        "decode_fetch_ms_tunnel": round(fetch_s * 1e3, 3),
         "peak_tflops_bf16": peak / 1e12,
+        # XLA cost analysis counts every HLO flop (incl. f32-multipass
+        # expansion, gather addressing and window arithmetic), so the
+        # GFLOPs/frame — and the MFU derived from it — are upper bounds,
+        # not an MXU-utilization measurement.
+        "flops_source": "xla_cost_analysis_upper_bound",
         "per_dtype": {
             k: {
                 "fps_device": round(r["fps_device"], 2),

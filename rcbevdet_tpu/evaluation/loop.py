@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import numpy as np
 
@@ -33,7 +35,9 @@ def make_eval_fn(
     reference which validates/releases the EMA checkpoint.
     """
 
-    @jax.jit
+    from ..utils.platform import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def forward(variables, batch):
         preds, _ = model.apply(variables, batch, train=False)
         return decode_predictions(preds, test_cfg)

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,7 +84,9 @@ def predict_tta(
 
     Returns {sample index: (boxes, scores, labels)} after the merged NMS.
     """
-    @jax.jit
+    from ..utils.platform import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def forward(variables, batch):
         preds = model.apply(variables, batch, train=False)[0]
         return decode_predictions(preds, test_cfg)

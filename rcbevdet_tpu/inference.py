@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,17 +124,24 @@ def predict(model, variables, batch, tokens=None, test_cfg=RC_TEST_CFG,
     Returns {token or index: (boxes, scores, labels)}.
     """
     if apply_fn is None:
-        @jax.jit
+        from .utils.platform import tpu_compiler_options
+
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
         def apply_fn(variables, batch):
             preds, _ = model.apply(variables, batch, train=False)
             return decode_predictions(preds, test_cfg)
 
     dec = apply_fn(variables, batch)
+    # one batched transfer: per-slice np.asarray would round-trip the
+    # device once per sample (and this harness's tunneled TPU pays ~100 ms
+    # latency per fetch)
+    bboxes, scores, labels, valid = jax.device_get(
+        (dec.bboxes, dec.scores, dec.labels, dec.valid)
+    )
     out = {}
-    b = dec.bboxes.shape[0]
-    for i in range(b):
+    for i in range(bboxes.shape[0]):
         key = tokens[i] if tokens is not None else i
         out[key] = postprocess_sample(
-            dec.bboxes[i], dec.scores[i], dec.labels[i], dec.valid[i], test_cfg
+            bboxes[i], scores[i], labels[i], valid[i], test_cfg
         )
     return out

@@ -35,6 +35,8 @@ def main(argv=None):
 
     apply_platform_env()
 
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +44,7 @@ def main(argv=None):
     from ..config import Config
     from ..inference import decode_predictions
     from ..models.detectors import RCBEVDet
+    from ..utils.platform import tpu_compiler_options
     from ..utils.profiling import flops_of
 
     sys.path.insert(0, ".")
@@ -56,7 +59,9 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(0), full, train=False)
 
     if args.mode == "full":
-        @jax.jit
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options()
+        )
         def step(variables, batch):
             preds, _ = model.apply(variables, batch, train=False)
             return decode_predictions(preds)
@@ -74,7 +79,9 @@ def main(argv=None):
         )
         prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
-        @jax.jit
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options()
+        )
         def step(variables, batch, prev_bev, prev_s2k):
             preds, key_bev = model.apply(
                 variables, batch, prev_bev, prev_s2k,

@@ -143,7 +143,12 @@ class Runner:
             fn = make_train_step(
                 self.model, self.tx, self.model_cfg, with_prev=with_prev
             )
-            self._steps[with_prev] = jax.jit(fn, donate_argnums=(0,))
+            from ..utils.platform import tpu_compiler_options
+
+            self._steps[with_prev] = jax.jit(
+                fn, donate_argnums=(0,),
+                compiler_options=tpu_compiler_options(),
+            )
         return self._steps[with_prev]
 
     def run(self):

@@ -24,3 +24,26 @@ def apply_platform_env(num_cpu_devices: int | None = None) -> None:
             jax.config.update("jax_num_cpu_devices", int(num_cpu_devices))
     except RuntimeError:
         pass  # backend already initialized; keep whatever is live
+
+
+def tpu_compiler_options() -> dict | None:
+    """Compiler options for perf-critical jits on TPU; None elsewhere.
+
+    XLA:TPU's default scoped-VMEM budget (~16 MiB) is far too small for this
+    model's fused graphs: with many VMEM-hungry fusions competing, the
+    scheduler assigns the deform-attn gathers and the RCS canvas scatters a
+    few hundred KiB of scratch each and they fall off their fast
+    (VMEM-resident-table) paths — measured 119 ms/frame vs 1.0 ms/frame for
+    the identical graph with a 64 MiB budget on TPU v5e (128 MiB physical
+    VMEM).  Scheduling-only: numerics are unaffected.
+
+    Override with RCBEVDET_SCOPED_VMEM_KIB (0 disables).
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    kib = os.environ.get("RCBEVDET_SCOPED_VMEM_KIB", "65536")
+    if not int(kib):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
