@@ -15,6 +15,7 @@ Two families live here:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -133,8 +134,87 @@ def render_gaussian_masked(cx, cy, radius, mask, shape, r_max=16):
     return jax.vmap(one)(cx, cy, r_int, mask)
 
 
-def render_rcs_maps(centers_xy, radius, rcs_value, pillar_mask, ny, nx, r_max=16):
-    """Render the RCS scatter's [heatmap, rcs-feat] channels for one sample.
+def _maxpool3(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+
+
+def render_rcs_maps(centers_xy, radius, rcs_value, pillar_mask, ny, nx,
+                    r_max=16):
+    """Render the RCS scatter's [heatmap, rcs-feat] channels for one sample
+    — scatter-free shift/reduce formulation (TPU fast path).
+
+    Semantics identical to :func:`render_rcs_maps_scatter` (the direct
+    window max-scatter, kept as the test oracle), but instead of
+    max-scattering P*(2r+1)^2 window elements (~1.3M scatter-max ops, the
+    2nd-hottest op of the whole model on v5e) it scatters only the P
+    per-pillar parameters onto the canvas and then propagates:
+
+    - rcs feat: iterated 3x3 max-pool = exact Chebyshev dilation; a pillar
+      with integer radius r is injected r steps before the end so it
+      dilates exactly r times (the constant rectangle of gaussian.py:57-81).
+    - heatmap: per radius-class k (17 classes, sigma_k=(2k+1)/6), a
+      box-bounded separable squared-EDT (min-convolution with a parabola
+      along x then y), then exp(-d2/(2 sigma_k^2)) and a max over classes.
+      Exact because all pillars of a class share sigma, so the max of
+      their gaussians is the gaussian of the min squared distance.
+
+    Voxelized pillar centers are unique per canvas cell, so the parameter
+    scatter needs no collision handling (padding goes to a trash cell).
+    """
+    p = centers_xy.shape[0]
+    r_int = jnp.clip(jnp.floor(radius), 0, r_max).astype(jnp.int32)  # [P]
+    xs, ys = centers_xy[:, 0], centers_xy[:, 1]
+    inb = pillar_mask & (xs >= 0) & (xs < nx) & (ys >= 0) & (ys < ny)
+    flat = jnp.where(inb, ys * nx + xs, ny * nx).astype(jnp.int32)
+
+    seed_r = (
+        jnp.full((ny * nx + 1,), -1, jnp.int32)
+        .at[flat].max(jnp.where(inb, r_int, -1), mode="drop")
+    )[: ny * nx].reshape(ny, nx)
+    seed_v = (
+        jnp.full((ny * nx + 1,), -jnp.inf, jnp.float32)
+        .at[flat].max(jnp.where(inb, rcs_value, -jnp.inf), mode="drop")
+    )[: ny * nx].reshape(ny, nx)
+
+    # --- rcs feat: Chebyshev dilation with staged seed injection ---
+    neg = jnp.float32(-jnp.inf)
+    acc = jnp.where(seed_r >= r_max, seed_v, neg)
+    for k in range(r_max - 1, -1, -1):
+        acc = jnp.maximum(_maxpool3(acc), jnp.where(seed_r == k, seed_v, neg))
+    feat = jnp.where(jnp.isfinite(acc), acc, 0.0)
+
+    # --- heatmap: per-class box-bounded squared-EDT + gaussian ---
+    big = jnp.float32(1e9)
+    heat = jnp.zeros((ny, nx), jnp.float32)
+    for k in range(r_max + 1):
+        sigma = (2.0 * k + 1.0) / 6.0
+        seed = seed_r == k
+        ind = jnp.where(seed, 0.0, big)
+        if k == 0:
+            d2 = ind
+        else:
+            ipad = jnp.pad(ind, ((0, 0), (k, k)), constant_values=big)
+            g = jnp.full((ny, nx), big, jnp.float32)
+            for dx in range(-k, k + 1):
+                g = jnp.minimum(g, ipad[:, k + dx : k + dx + nx] + dx * dx)
+            gpad = jnp.pad(g, ((k, k), (0, 0)), constant_values=big)
+            d2 = jnp.full((ny, nx), big, jnp.float32)
+            for dy in range(-k, k + 1):
+                d2 = jnp.minimum(d2, gpad[k + dy : k + dy + ny, :] + dy * dy)
+        heat = jnp.maximum(
+            heat,
+            jnp.where(d2 < big * 0.5,
+                      jnp.exp(-d2 / (2.0 * sigma ** 2)), 0.0),
+        )
+    return heat, feat
+
+
+def render_rcs_maps_scatter(centers_xy, radius, rcs_value, pillar_mask, ny,
+                            nx, r_max=16):
+    """Direct window max-scatter renderer (test oracle for
+    :func:`render_rcs_maps`).
 
     For each valid pillar at integer canvas coords (x, y) with truncated
     integer radius r (clamped to ``r_max``):

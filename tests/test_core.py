@@ -187,3 +187,30 @@ def test_points_in_rotated_boxes():
     mask = points_in_rotated_boxes(pts, boxes)
     # after rotation the long axis is along y
     np.testing.assert_array_equal(mask[:, 0], [True, False, True])
+
+
+def test_render_rcs_maps_matches_scatter_oracle():
+    """The shift/reduce fast path must reproduce the direct window
+    max-scatter renderer exactly (unique centers, like voxelized pillars)."""
+    from rcbevdet_tpu.core.gaussian import render_rcs_maps_scatter
+
+    rng = np.random.default_rng(3)
+    ny = nx = 64
+    p = 120
+    # unique integer centers (voxelization guarantees this in the model)
+    cells = rng.choice(ny * nx, size=p, replace=False)
+    centers = np.stack([cells % nx, cells // nx], axis=-1).astype(np.int32)
+    # push some centers near/over borders via offsets
+    radius = rng.uniform(0, 12, p).astype(np.float32)
+    rcs = rng.uniform(-2, 5, p).astype(np.float32)
+    mask = rng.uniform(size=p) > 0.2
+    args = (jnp.asarray(centers), jnp.asarray(radius), jnp.asarray(rcs),
+            jnp.asarray(mask), ny, nx, 8)
+    heat_f, feat_f = render_rcs_maps(*args)
+    heat_s, feat_s = render_rcs_maps_scatter(*args)
+    np.testing.assert_allclose(
+        np.asarray(heat_f), np.asarray(heat_s), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat_f), np.asarray(feat_s), atol=1e-6
+    )

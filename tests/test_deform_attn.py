@@ -7,6 +7,7 @@ the reference validates its CUDA kernel against (ops/deformattn/test.py).
 """
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -69,3 +70,34 @@ def test_deform_attn_multi_level(rng):
         torch.from_numpy(weights),
     ).numpy()
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_equals_gather4_with_oob():
+    """The packed-corner fast path must match the 4-gather form exactly,
+    including out-of-range sampling locations (zero-padding semantics)."""
+    from rcbevdet_tpu.ops.deform_attn import (
+        ms_deform_attn_core_gather4,
+        ms_deform_attn_core_packed,
+    )
+
+    rng = np.random.default_rng(7)
+    b, heads, hd, lq, p = 2, 4, 8, 64, 6
+    shapes = [(16, 24), (8, 12)]
+    len_in = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, len_in, heads, hd)), jnp.float32
+    )
+    # locations straddle [0,1] to exercise the padding/clamp paths
+    locs = jnp.asarray(
+        rng.uniform(-0.3, 1.3, (b, lq, heads, len(shapes), p, 2)),
+        jnp.float32,
+    )
+    w = jax.nn.softmax(
+        jnp.asarray(
+            rng.standard_normal((b, lq, heads, len(shapes) * p)), jnp.float32
+        ),
+        axis=-1,
+    ).reshape(b, lq, heads, len(shapes), p)
+    a = ms_deform_attn_core_gather4(value, shapes, locs, w)
+    c = ms_deform_attn_core_packed(value, shapes, locs, w)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
