@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.bev_pool import bev_pool_batch, bev_pool_ranks
+from ..ops.bev_pool import bev_pool_batch, bev_pool_dense_batch, bev_pool_ranks
 from .layers import BasicBlock, BatchNorm, Mlp, SELayer
 
 
@@ -377,13 +377,10 @@ class LSSViewTransformerBEVDepth(nn.Module):
                 nx * ny * nz,
             )
         else:
-            out = bev_pool_batch(
-                depth_ndhw,
-                feat,
-                jnp.broadcast_to(ranks_depth[None], (b, p)),
-                jnp.broadcast_to(ranks_feat[None], (b, p)),
-                ranks_bev.reshape(b, p),
-                nx * ny * nz,
+            # natural frustum order: ranks_depth/feat are identity/broadcast,
+            # so the gather-free dense path applies (ops/bev_pool.py)
+            out = bev_pool_dense_batch(
+                depth_ndhw, feat, ranks_bev, nx * ny * nz
             )  # [B, nz*ny*nx, C]
         # collapse z (nz=1 in all shipped configs): (B, Z, Y, X, C)->[B,Y,X,Z*C]
         out = out.reshape(b, nz, ny, nx, c)

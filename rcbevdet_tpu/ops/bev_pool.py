@@ -93,3 +93,38 @@ def bev_pool_batch(depth, feat, ranks_depth, ranks_feat, ranks_bev, num_cells):
     return jax.vmap(bev_pool, in_axes=(0, 0, 0, 0, 0, None))(
         depth, feat, ranks_depth, ranks_feat, ranks_bev, num_cells
     )
+
+
+def bev_pool_dense(depth_ndhw, feat, ranks_bev, num_cells):
+    """Gather-free LSS splat for the natural frustum ordering (one sample).
+
+    In frustum order (N, D, Hf, Wf), ``ranks_depth`` is the identity and
+    ``ranks_feat`` a pure broadcast over D (view_transformer.view_transform
+    builds exactly those), so the reference's indexed formulation
+    (bev_pool_cuda.cu:21-48) reduces to a broadcast-multiply feeding one
+    segment-sum — the per-point depth/feat gathers (~3.3 ms/step on v5e)
+    vanish entirely.
+
+    Args:
+      depth_ndhw: [N, D, Hf, Wf] softmax depth.
+      feat: [N, Hf, Wf, C] image features.
+      ranks_bev: [N, D, Hf, Wf] int32 cell ranks (num_cells = trash).
+      num_cells: static int.
+
+    Returns:
+      [num_cells, C]
+    """
+    c = feat.shape[-1]
+    vals = depth_ndhw[..., None] * feat[:, None]  # [N, D, Hf, Wf, C]
+    out = jax.ops.segment_sum(
+        vals.reshape(-1, c), ranks_bev.reshape(-1),
+        num_segments=num_cells + 1,
+    )
+    return out[:num_cells]
+
+
+def bev_pool_dense_batch(depth, feat, ranks_bev, num_cells):
+    """vmapped :func:`bev_pool_dense` over the batch dimension."""
+    return jax.vmap(bev_pool_dense, in_axes=(0, 0, 0, None))(
+        depth, feat, ranks_bev, num_cells
+    )

@@ -63,40 +63,45 @@ def _sample_packed(value_bhwc, locs, h, w):
     xc = jnp.clip(x0i, 0, w - 1)
     yc = jnp.clip(y0i, 0, h - 1)
 
+    # single flattened row index: a 1-component gather from a 2-D table is
+    # ~2x faster than the 3-component rank-4 form on v5e
     nidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
-    starts = jnp.stack([nidx, yc, xc], axis=-1)  # [N, S, 3]
+    flat = ((nidx * h + yc) * w + xc).reshape(n * s, 1)
     patch = jax.lax.gather(
-        packed, starts,
+        packed.reshape(n * h * w, 4 * hd), flat,
         jax.lax.GatherDimensionNumbers(
-            offset_dims=(2,),
-            collapsed_slice_dims=(0, 1, 2),
-            start_index_map=(0, 1, 2),
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
         ),
-        slice_sizes=(1, 1, 1, 4 * hd),
+        slice_sizes=(1, 4 * hd),
         mode="promise_in_bounds",
-    )  # [N, S, 4hd]
-    corners = patch.reshape(n, s, 4, hd)
+    ).reshape(n, s, 4 * hd)
 
-    out = jnp.zeros((n, s, hd), value_bhwc.dtype)
-    for ci, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+    # Fold the corner->packed-slot remap into the (scalar) weights instead
+    # of selecting on [N, S, hd] tensors: a [N,S,4,hd] reshape + per-corner
+    # selects makes XLA materialize ~0.5 GB transposed copies of the patch
+    # (measured ~10 ms/step); per-slot scalar weights cost [N, S] only.
+    dt = value_bhwc.dtype
+    slot_w = [jnp.zeros(wx.shape, dt) for _ in range(4)]
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
         ty = y0i + dy
         tx = x0i + dx
         valid = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
-        # position of the true corner inside the (edge-clamped) packed row
-        oy = jnp.clip(ty - yc, 0, 1)
+        oy = jnp.clip(ty - yc, 0, 1)  # packed-slot row of the true corner
         ox = jnp.clip(tx - xc, 0, 1)
-        # 4-way select (NOT take_along_axis: that would lower to another
-        # gather; wheres fuse into the gather consumer)
-        v = jnp.where(
-            (oy == 0)[..., None],
-            jnp.where((ox == 0)[..., None], corners[:, :, 0],
-                      corners[:, :, 1]),
-            jnp.where((ox == 0)[..., None], corners[:, :, 2],
-                      corners[:, :, 3]),
-        )
         wgt = (jnp.where(dx, wx, 1.0 - wx) * jnp.where(dy, wy, 1.0 - wy)
-               * valid[..., None].astype(value_bhwc.dtype))
-        out = out + v * wgt.astype(value_bhwc.dtype)
+               * valid[..., None].astype(dt)).astype(dt)
+        for si, (sy, sx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            hit = ((oy == sy) & (ox == sx))[..., None].astype(dt)
+            slot_w[si] = slot_w[si] + wgt * hit
+
+    out = (
+        patch[..., 0 * hd : 1 * hd] * slot_w[0]
+        + patch[..., 1 * hd : 2 * hd] * slot_w[1]
+        + patch[..., 2 * hd : 3 * hd] * slot_w[2]
+        + patch[..., 3 * hd : 4 * hd] * slot_w[3]
+    )
     return out
 
 

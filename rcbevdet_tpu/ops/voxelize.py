@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -87,7 +88,11 @@ def voxelize_pillars(
     pillar_of_point = jnp.cumsum(newseg.astype(jnp.int32)) - 1  # [N]
     # Slot of each point inside its pillar = index - start index of its run.
     idx = jnp.arange(n, dtype=jnp.int32)
-    run_start = jnp.maximum.accumulate(jnp.where(newseg, idx, -1))
+    # log-depth cumulative max: jnp.maximum.accumulate lowers to a
+    # sequential 1200-iteration while loop on TPU (~2 ms/step measured)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newseg, idx, -1)
+    )
     slot = idx - run_start
 
     keep = valid_sorted & (slot < max_points_per_pillar) & (

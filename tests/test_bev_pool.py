@@ -70,3 +70,26 @@ def test_bev_pool_ranks_masks_out_of_range():
         coor, (0.0, 0.0, 0.0), (1.0, 1.0, 8.0), (2, 2, 1)
     )
     np.testing.assert_array_equal(np.asarray(ranks), [0, 1, 4, 4])
+
+
+def test_bev_pool_dense_matches_indexed():
+    """The gather-free dense path must equal the indexed formulation for
+    the natural frustum ordering it assumes."""
+    from rcbevdet_tpu.ops.bev_pool import bev_pool, bev_pool_dense
+
+    rng = np.random.default_rng(5)
+    n, d, hf, wf, c = 2, 5, 4, 6, 7
+    num_cells = 50
+    depth = jnp.asarray(rng.standard_normal((n, d, hf, wf)), jnp.float32)
+    feat = jnp.asarray(rng.standard_normal((n, hf, wf, c)), jnp.float32)
+    p = n * d * hf * wf
+    ranks_bev = jnp.asarray(
+        rng.integers(0, num_cells + 1, (n, d, hf, wf)), jnp.int32
+    )
+    ranks_depth = jnp.arange(p, dtype=jnp.int32)
+    rf = jnp.arange(n * hf * wf, dtype=jnp.int32).reshape(n, 1, hf * wf)
+    ranks_feat = jnp.broadcast_to(rf, (n, d, hf * wf)).reshape(-1)
+    ref = bev_pool(depth, feat, ranks_depth, ranks_feat,
+                   ranks_bev.reshape(-1), num_cells)
+    got = bev_pool_dense(depth, feat, ranks_bev, num_cells)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
