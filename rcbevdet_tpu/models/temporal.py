@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.warp import grid_sample_2d
+from ..ops.warp import grid_sample_2d_packed
 
 
 def _embed4(bda):
@@ -75,7 +75,5 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     gx = warped[..., 0] / (w - 1.0) * 2.0 - 1.0
     gy = warped[..., 1] / (h - 1.0) * 2.0 - 1.0
     g = jnp.stack([gx, gy], -1)  # [B, H, W, 2]
-    out = jax.vmap(lambda f, gg: grid_sample_2d(f, gg, align_corners=True))(
-        feat, g
-    )
+    out = grid_sample_2d_packed(feat, g, align_corners=True)
     return out.astype(feat.dtype)

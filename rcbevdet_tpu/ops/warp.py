@@ -95,3 +95,37 @@ def nearest_resize(x, out_h, out_w):
     iy = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
     ix = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
     return x[..., iy, :, :][..., :, ix, :]
+
+
+def grid_sample_2d_packed(imgs, grid, align_corners=True):
+    """Batched bilinear grid sample via ONE packed-corner row gather.
+
+    Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
+    dim, but ~4x cheaper on TPU: gather cost scales with the index count,
+    so the 4 corner-gathers become one gather of channel-packed corner rows
+    (see ops/deform_attn.py::packed_bilinear_parts).
+
+    Args:
+      imgs: [N, H, W, C].
+      grid: [N, ..., 2] normalized (x, y) in [-1, 1].
+
+    Returns:
+      [N, ..., C]
+    """
+    from .deform_attn import packed_bilinear_parts
+
+    n, h, w, c = imgs.shape
+    lead = grid.shape[1:-1]
+    gx = grid[..., 0].reshape(n, -1)
+    gy = grid[..., 1].reshape(n, -1)
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+    patch, slot_w = packed_bilinear_parts(imgs, fx, fy, h, w)
+    out = sum(
+        patch[..., si * c : (si + 1) * c] * slot_w[si] for si in range(4)
+    )
+    return out.reshape((n,) + lead + (c,))

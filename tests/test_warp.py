@@ -56,3 +56,21 @@ def test_nearest_resize_matches_torch(rng):
         torch.from_numpy(img).permute(0, 3, 1, 2), scale_factor=2, mode="nearest"
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_sample_2d_packed_matches_unpacked():
+    from rcbevdet_tpu.ops.warp import grid_sample_2d, grid_sample_2d_packed
+    import jax
+
+    rng = np.random.default_rng(11)
+    n, h, w, c = 3, 9, 13, 5
+    imgs = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.4, 1.4, (n, 6, 4, 2)), jnp.float32)
+    for ac in (True, False):
+        ref = jax.vmap(
+            lambda f, g: grid_sample_2d(f, g, align_corners=ac)
+        )(imgs, grid)
+        got = grid_sample_2d_packed(imgs, grid, align_corners=ac)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-6
+        )
