@@ -107,9 +107,15 @@ def main():
     from rcbevdet_tpu.utils.platform import tpu_compiler_options
     _enable_compile_cache()
 
+    import dataclasses
+
     num_adj = 8
     cfg = RCBEVDetConfig(num_adj=num_adj, freeze_img=True)
     model = RCBEVDet(cfg)
+    # same param tree, bf16 activation boundaries in the radar branch
+    model_bf16 = RCBEVDet(
+        dataclasses.replace(cfg, compute_dtype="bfloat16")
+    )
     rng = np.random.default_rng(0)
 
     # key-frame-only batch for the incremental path
@@ -129,17 +135,14 @@ def main():
     )
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
-    def make_step():
+    def make_step(m=model):
         import functools
 
-        # the scoped-VMEM budget is load-bearing: without it the deform-attn
-        # gathers and RCS scatters fall off XLA's fast paths (119 ms/frame
-        # vs 1.0 ms/frame measured on v5e, see utils/platform.py)
         @functools.partial(
             jax.jit, compiler_options=tpu_compiler_options()
         )
         def step(variables, batch, prev_bev, prev_s2k):
-            preds, key_bev = model.apply(
+            preds, key_bev = m.apply(
                 variables, batch, prev_bev, prev_s2k,
                 method=RCBEVDet.forward_cached,
             )
@@ -178,7 +181,7 @@ def main():
         else:
             vbench, kb, prev_bev = variables, key_batch, prev_bev0
 
-        step = make_step()
+        step = make_step(model_bf16 if dtype_name == "bfloat16" else model)
         dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
         jax.block_until_ready(dec.bboxes)
         for _ in range(warmup):

@@ -55,6 +55,9 @@ class RCBEVDetConfig:
     vovnet_spec: str = "V-99"
     img_neck_channels: int = 512
     num_trans_channels: int = 80  # numC_Trans
+    # activation dtype for the radar branch's learned streams (None = f32);
+    # set "bfloat16" together with bf16-cast params for the fast path
+    compute_dtype: Any = None
     num_adj: int = 8
     grid_config: Any = dataclasses.field(
         default_factory=lambda: {
@@ -239,6 +242,7 @@ class RCBEVDet(nn.Module):
         self.bev_neck = FPN_LSS(out_channels=c.imc, name="img_bev_encoder_neck")
         if c.use_radar:
             self.radar_encoder = RadarBEVNet(
+                compute_dtype=c.compute_dtype,
                 in_channels=c.radar_in_channels,
                 feat_channels=tuple(c.radar_feat_channels),
                 voxel_size=c.radar_voxel_size,

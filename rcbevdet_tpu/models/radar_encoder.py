@@ -22,7 +22,7 @@ Faithfully reproduced reference quirks (SURVEY.md "fidelity gotchas"):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +221,13 @@ class RadarBEVNet(nn.Module):
     point_cloud_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     with_pos_embed: bool = True
     num_heads: int = 2
+    # activation dtype for the learned streams; the geometric decoration
+    # (voxel offsets, normalized xyz, DMSA distances) always stays f32.
+    # Without this boundary cast, f32 radar points keep the whole radar
+    # branch -- and through CAMF's value projection, half the fusion -- in
+    # f32 even when the rest of the model runs bf16 (f32 x bf16 promotes
+    # to f32 under jax dtype promotion).
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features, num_points, coors, pillar_mask,
@@ -273,6 +280,9 @@ class RadarBEVNet(nn.Module):
         x = jnp.concatenate([features, f_center], axis=-1)
         x = x * pm
         c = c * pm
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            c = c.astype(self.compute_dtype)
 
         # BN statistics over real pillars only (all K slots, like the ref).
         stats_mask = jnp.broadcast_to(pillar_mask[..., None], (b, p, k))
@@ -282,6 +292,8 @@ class RadarBEVNet(nn.Module):
         )
         if self.with_pos_embed:
             pe = features[..., 0:3]
+            if self.compute_dtype is not None:
+                pe = pe.astype(self.compute_dtype)
             pe = nn.Dense(self.feat_channels[0], name="pos_embed_fc1")(pe)
             pe = nn.LayerNorm(name="pos_embed_ln1")(pe)
             pe = nn.relu(pe)

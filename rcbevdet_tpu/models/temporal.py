@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import inv_affine4
 from ..ops.warp import grid_sample_2d_packed
 
 
@@ -48,7 +49,7 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     bda4 = _embed4(bda)
     c02l0 = bda4 @ c02l0
     c12l0 = (_embed4(bda_adj) if bda_adj is not None else bda4) @ c12l0
-    l02l1 = c02l0 @ jnp.linalg.inv(c12l0)  # key ego -> adj ego
+    l02l1 = c02l0 @ inv_affine4(c12l0)  # key ego -> adj ego
     # drop the z row/col (pure BEV homography), keep x, y, w
     keep = jnp.asarray([0, 1, 3])
     l02l1 = l02l1[:, keep][:, :, keep]  # [B, 3, 3]
@@ -56,16 +57,22 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     # homography math stays f32 even under bf16 activations: TPU LU
     # decomposition supports f32 only, and bf16 grid coords would misplace
     # the warp by whole cells
-    feat2bev = jnp.array(
+    import numpy as _np
+
+    feat2bev = _np.array(
         [
             [grid_interval[0], 0.0, grid_lower_bound[0]],
             [0.0, grid_interval[1], grid_lower_bound[1]],
             [0.0, 0.0, 1.0],
         ],
-        jnp.float32,
+        _np.float32,
     )
     l02l1 = l02l1.astype(jnp.float32)
-    tf = jnp.linalg.inv(feat2bev)[None] @ l02l1 @ feat2bev[None]  # [B, 3, 3]
+    # constant 3x3 inverted on host (np), not via a device LU solve
+    tf = (
+        jnp.asarray(_np.linalg.inv(feat2bev))[None]
+        @ l02l1 @ jnp.asarray(feat2bev)[None]
+    )  # [B, 3, 3]
 
     xs = jnp.arange(w, dtype=jnp.float32)
     ys = jnp.arange(h, dtype=jnp.float32)

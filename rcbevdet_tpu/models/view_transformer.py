@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.linalg import inv3
 from ..ops.bev_pool import bev_pool_batch, bev_pool_dense_batch, bev_pool_ranks
 from .layers import BasicBlock, BatchNorm, Mlp, SELayer
 
@@ -54,13 +55,13 @@ def frustum_to_ego(frustum, sensor2ego, intrins, post_rots, post_trans, bda):
     """
     b, n = sensor2ego.shape[:2]
     points = frustum[None, None] - post_trans[:, :, None, None, None, :]
-    inv_post = jnp.linalg.inv(post_rots)
+    inv_post = inv3(post_rots)
     points = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, points)
     # un-project: (u*d, v*d, d)
     points = jnp.concatenate(
         [points[..., :2] * points[..., 2:3], points[..., 2:3]], axis=-1
     )
-    combine = sensor2ego[:, :, :3, :3] @ jnp.linalg.inv(intrins)
+    combine = sensor2ego[:, :, :3, :3] @ inv3(intrins)
     points = jnp.einsum("bnij,bndhwj->bndhwi", combine, points)
     points = points + sensor2ego[:, :, None, None, None, :3, 3]
     points = jnp.einsum("bij,bndhwj->bndhwi", bda, points)
@@ -216,12 +217,12 @@ def stereo_sample_grid(frustum_cv, k2s_sensor, intrins, post_rots, post_trans,
     """
     b, n = k2s_sensor.shape[:2]
     points = frustum_cv[None, None] - post_trans[:, :, None, None, None, :]
-    inv_post = jnp.linalg.inv(post_rots)
+    inv_post = inv3(post_rots)
     points = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, points)
     points = jnp.concatenate(
         [points[..., :2] * points[..., 2:3], points[..., 2:3]], axis=-1
     )
-    combine = k2s_sensor[:, :, :3, :3] @ jnp.linalg.inv(intrins)
+    combine = k2s_sensor[:, :, :3, :3] @ inv3(intrins)
     points = jnp.einsum("bnij,bndhwj->bndhwi", combine, points)
     points = points + k2s_sensor[:, :, None, None, None, :3, 3]
     neg_mask = points[..., 2] < 1e-3

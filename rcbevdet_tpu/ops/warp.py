@@ -8,6 +8,7 @@ NHWC throughout.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gather_2d(img, ix, iy):
@@ -60,41 +61,49 @@ def grid_sample_2d(img, grid, align_corners=True, padding_mode="zeros"):
     return out
 
 
-def bilinear_resize(x, out_h, out_w, align_corners=True):
-    """Bilinear resize of [..., H, W, C] matching torch ``interpolate``."""
-    *lead, h, w, c = x.shape
-    if align_corners and out_h > 1 and out_w > 1:
-        fy = jnp.linspace(0.0, h - 1.0, out_h)
-        fx = jnp.linspace(0.0, w - 1.0, out_w)
+def _resize_matrix(out_n, n, align_corners, nearest=False):
+    """[out_n, n] constant interpolation matrix (resize = two matmuls).
+
+    Axis-aligned resizes have shape-constant sample positions, so the
+    gather formulation (which XLA lowers to slow TPU gathers, ~1.7 ms for
+    the FPN_LSS upsample) collapses to a dense 2-sparse matrix that the
+    compiler constant-folds and the MXU applies in ~us.
+    """
+    if nearest:
+        src = np.floor(np.arange(out_n) * (n / out_n)).astype(np.int64)
+        m = np.zeros((out_n, n), np.float32)
+        m[np.arange(out_n), src] = 1.0
+        return jnp.asarray(m)
+    if align_corners and out_n > 1 and n > 1:
+        f = np.linspace(0.0, n - 1.0, out_n)
     else:
-        # half-pixel centers (align_corners=False)
-        fy = (jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5
-        fx = (jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5
-        fy = jnp.clip(fy, 0.0, h - 1.0)
-        fx = jnp.clip(fx, 0.0, w - 1.0)
+        f = np.clip((np.arange(out_n) + 0.5) * (n / out_n) - 0.5, 0, n - 1.0)
+    i0 = np.floor(f).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n - 1)
+    wgt = (f - i0).astype(np.float32)
+    m = np.zeros((out_n, n), np.float32)
+    m[np.arange(out_n), i0] += 1.0 - wgt
+    m[np.arange(out_n), i1] += wgt
+    return jnp.asarray(m)
 
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (fy - y0).astype(x.dtype)
-    wx = (fx - x0).astype(x.dtype)
 
-    top = x[..., y0, :, :]
-    bot = x[..., y1, :, :]
-    rows = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
-    left = rows[..., :, x0, :]
-    right = rows[..., :, x1, :]
-    out = left * (1 - wx)[None, :, None] + right * wx[None, :, None]
-    return out
+def bilinear_resize(x, out_h, out_w, align_corners=True):
+    """Bilinear resize of [..., H, W, C] matching torch ``interpolate``
+    (separable interpolation-matrix matmuls — MXU, no gathers)."""
+    *lead, h, w, c = x.shape
+    my = _resize_matrix(out_h, h, align_corners).astype(x.dtype)
+    mx = _resize_matrix(out_w, w, align_corners).astype(x.dtype)
+    rows = jnp.einsum("oh,...hwc->...owc", my, x)
+    return jnp.einsum("pw,...owc->...opc", mx, rows)
 
 
 def nearest_resize(x, out_h, out_w):
     """Nearest resize of [..., H, W, C] matching torch ``mode='nearest'``."""
     *lead, h, w, c = x.shape
-    iy = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
-    ix = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
-    return x[..., iy, :, :][..., :, ix, :]
+    my = _resize_matrix(out_h, h, True, nearest=True).astype(x.dtype)
+    mx = _resize_matrix(out_w, w, True, nearest=True).astype(x.dtype)
+    rows = jnp.einsum("oh,...hwc->...owc", my, x)
+    return jnp.einsum("pw,...owc->...opc", mx, rows)
 
 
 def grid_sample_2d_packed(imgs, grid, align_corners=True):
