@@ -8,6 +8,7 @@ from .centerpoint_head import (
 )
 from .hop import HoPTemporalPredictor
 from .rcbevdetpp import RCBEVDetPlusPlus
+from .centerpoint_lidar import CenterPointPillars, PillarFeatureNet
 from .sparse_decoder import SparseBEVDecoder, set_prediction_loss, hungarian_match
 from .seg_head import BEVSegHead, seg_loss, seg_iou
 from .vovnet import VoVNetV2
