@@ -62,7 +62,12 @@ class PointPillarsScatterRCS(nn.Module):
             render_rcs_maps, in_axes=(0, 0, 0, 0, None, None, None)
         )(centers, radius, rcs[..., -2], pillar_mask, ny, nx, self.r_max)
 
-        rcs_in = jnp.stack([heat, feat], axis=-1)  # [B, ny, nx, 2]
+        # the RCS maps render in f32 (exp/EDT math); cast at this boundary
+        # or the concat below upcasts the whole radar canvas and everything
+        # after it to f32 under bf16 activations
+        rcs_in = jnp.stack([heat, feat], axis=-1).astype(
+            pillar_feats.dtype
+        )  # [B, ny, nx, 2]
         rcs_att = nn.Conv(self.in_channels, (1, 1), name="rcs_att")(rcs_in)
         out = nn.Conv(
             self.in_channels, (3, 3), padding=((1, 1), (1, 1)), name="compress"

@@ -171,6 +171,9 @@ class DMSA(nn.Module):
         bias = dist[:, None, :, :] * beta.transpose(0, 2, 1)[..., None]
         if key_mask is not None:
             bias = jnp.where(key_mask[:, None, None, :], bias, NEG_INF)
+        # distances are f32 geometry; cast so the attention logits (and the
+        # whole transformer stream after them) keep the activation dtype
+        bias = bias.astype(query_feat.dtype)
         out = TorchMultiheadAttention(self.dim, self.num_heads, name="attention")(
             query_feat, attn_bias=bias.reshape(-1, *bias.shape[2:])
         )

@@ -145,6 +145,11 @@ class DepthNet(nn.Module):
             mlp_input.reshape(-1, mlp_input.shape[-1]),
             use_running_average=not train, update_stats=update_stats,
         )
+        # camera params are f32 geometry; without this boundary cast the SE
+        # modulation upcasts the whole depth/context path (and everything
+        # downstream through bev_pool and the BEV encoder) to f32 under
+        # bf16 activations (f32 x bf16 promotes to f32)
+        mlp_input = mlp_input.astype(x.dtype)
         x = nn.Conv(
             self.mid_channels, (3, 3), padding=((1, 1), (1, 1)),
             name="reduce_conv",
