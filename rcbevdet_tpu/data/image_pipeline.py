@@ -101,6 +101,37 @@ def normalize_image(img: Image.Image):
     return (arr - IMG_MEAN) / IMG_STD
 
 
+def preprocess_image(img: Image.Image, resize_dims, crop, flip, rotate):
+    """Fused resize/crop/flip/rotate/normalize, native C++ when available.
+
+    The native path (csrc/image_ops.cc via data/image_ops_native.py) fuses
+    the whole PIL chain + ImageNet normalize into one C++ pass; per-image
+    cost is comparable to PIL single-threaded (PIL's SIMD fixed-point
+    resampling is excellent), and the batched entry point
+    (image_ops_native.transform_normalize_batch) runs the 54
+    images-per-sample hot loop on a C++ thread pool with no GIL
+    round-trips (SURVEY hard-part #7).  Tracks PIL within ~1/255
+    (resize/crop/flip bit-tolerant, rotate >=99.9% pixel-exact); set
+    RCBEVDET_NO_NATIVE_IMAGE=1 to force the PIL path.
+    """
+    import os
+
+    from . import image_ops_native
+
+    if (
+        not os.environ.get("RCBEVDET_NO_NATIVE_IMAGE")
+        and img.mode == "RGB"
+        and image_ops_native.available()
+    ):
+        return image_ops_native.transform_normalize(
+            np.asarray(img), resize_dims, crop, flip, rotate,
+            IMG_MEAN.reshape(3), IMG_STD.reshape(3),
+        )
+    return normalize_image(
+        transform_image(img, resize_dims, crop, flip, rotate)
+    )
+
+
 def quaternion_matrix(wxyz):
     """Rotation matrix from a (w, x, y, z) quaternion."""
     w, x, y, z = np.asarray(wxyz, np.float64)
@@ -187,8 +218,8 @@ def prepare_image_inputs(
                 im = img
             else:
                 im = image_loader(cdat["data_path"])
-            im = transform_image(im, resize_dims, crop, flip, rotate)
-            imgs[fi, ci] = normalize_image(im)
+            imgs[fi, ci] = preprocess_image(im, resize_dims, crop, flip,
+                                            rotate)
             s2e, e2g = camera_transforms(cdat)
             sensor2egos[fi, ci] = s2e
             ego2globals[fi, ci] = e2g
