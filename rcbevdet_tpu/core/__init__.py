@@ -19,6 +19,12 @@ __all__ = [
     "gaussian_radius_np",
     "draw_heatmap_gaussian_np",
     "render_rcs_maps",
+    "CAM",
+    "DEPTH",
+    "LIDAR",
+    "cam_box_corners",
+    "convert_boxes",
+    "project_cam_corners",
     "gravity_center",
     "boxes_bev",
     "box_corners_bev",
@@ -29,3 +35,11 @@ __all__ = [
     "rotated_nms_np",
     "rotated_iou_matrix_np",
 ]
+from .box_modes import (
+    CAM,
+    DEPTH,
+    LIDAR,
+    cam_box_corners,
+    convert_boxes,
+    project_cam_corners,
+)
