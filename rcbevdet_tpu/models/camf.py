@@ -73,7 +73,12 @@ class MSDeformAttn(nn.Module):
             reference_points[:, :, None, :, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn_core(value, spatial_shapes, locations, weights)
+        # remat: the packed-corner patch ([B*heads, Lq*P, 4*hd], ~0.5 GB
+        # per layer at train shapes) must not be stored for backward
+        core = jax.checkpoint(
+            lambda v, l, w: ms_deform_attn_core(v, spatial_shapes, l, w)
+        )
+        out = core(value, locations, weights)
         return nn.Dense(self.d_model, name="output_proj")(out)
 
 

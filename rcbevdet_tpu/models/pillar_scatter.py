@@ -58,9 +58,15 @@ class PointPillarsScatterRCS(nn.Module):
         true_rcs = nn.relu(rcs[..., -2] * r2)
         radius = true_rcs + 1.0
         centers = jnp.stack([coors[..., 2], coors[..., 1]], axis=-1)  # (x, y)
-        heat, feat = jax.vmap(
-            render_rcs_maps, in_axes=(0, 0, 0, 0, None, None, None)
-        )(centers, radius, rcs[..., -2], pillar_mask, ny, nx, self.r_max)
+        # remat: the shift/reduce renderer's ~600-op chain would otherwise
+        # store a [ny, nx] residual per shift for the backward pass (~9 GB
+        # at train shapes); recomputing it is nearly free next to the convs
+        render = jax.checkpoint(
+            lambda c_, r_, v_, m_: jax.vmap(
+                render_rcs_maps, in_axes=(0, 0, 0, 0, None, None, None)
+            )(c_, r_, v_, m_, ny, nx, self.r_max)
+        )
+        heat, feat = render(centers, radius, rcs[..., -2], pillar_mask)
 
         # the RCS maps render in f32 (exp/EDT math); cast at this boundary
         # or the concat below upcasts the whole radar canvas and everything

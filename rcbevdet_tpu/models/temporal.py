@@ -82,5 +82,8 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     gx = warped[..., 0] / (w - 1.0) * 2.0 - 1.0
     gy = warped[..., 1] / (h - 1.0) * 2.0 - 1.0
     g = jnp.stack([gx, gy], -1)  # [B, H, W, 2]
-    out = grid_sample_2d_packed(feat, g, align_corners=True)
+    warp = jax.checkpoint(
+        lambda f, gg: grid_sample_2d_packed(f, gg, align_corners=True)
+    )
+    out = warp(feat, g)
     return out.astype(feat.dtype)
