@@ -341,12 +341,13 @@ class LSSViewTransformerBEVDepth(nn.Module):
         bev = self.view_transform(
             depth.reshape(b, n, hf, wf, num_d),
             tran_feat.reshape(b, n, hf, wf, self.out_channels),
-            sensor2ego, intrins, post_rots, post_trans, bda,
+            sensor2ego, intrins, post_rots, post_trans, bda, train=train,
         )
         return bev, depth.reshape(b, n, hf, wf, num_d)
 
     def view_transform(
-        self, depth, feat, sensor2ego, intrins, post_rots, post_trans, bda
+        self, depth, feat, sensor2ego, intrins, post_rots, post_trans, bda,
+        train=False,
     ):
         """depth [B, N, Hf, Wf, D]; feat [B, N, Hf, Wf, C] -> [B, ny, nx, C]."""
         b, n, hf, wf, num_d = depth.shape
@@ -382,11 +383,24 @@ class LSSViewTransformerBEVDepth(nn.Module):
                 ranks_bev.reshape(b, p),
                 nx * ny * nz,
             )
-        else:
+        elif not train:
             # natural frustum order: ranks_depth/feat are identity/broadcast,
             # so the gather-free dense path applies (ops/bev_pool.py)
             out = bev_pool_dense_batch(
                 depth_ndhw, feat, ranks_bev, nx * ny * nz
+            )  # [B, nz*ny*nx, C]
+        else:
+            # under autodiff the dense broadcast-product materializes as a
+            # [B, P, C] residual (7.6 GB for the batched adjacent-frame
+            # pass); the indexed form fuses into the scatter, so keep it on
+            # the training path
+            out = bev_pool_batch(
+                depth_ndhw,
+                feat,
+                jnp.broadcast_to(ranks_depth[None], (b, p)),
+                jnp.broadcast_to(ranks_feat[None], (b, p)),
+                ranks_bev.reshape(b, p),
+                nx * ny * nz,
             )  # [B, nz*ny*nx, C]
         # collapse z (nz=1 in all shipped configs): (B, Z, Y, X, C)->[B,Y,X,Z*C]
         out = out.reshape(b, nz, ny, nx, c)
