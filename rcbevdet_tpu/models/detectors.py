@@ -394,6 +394,13 @@ class RCBEVDet(nn.Module):
             adj_bev, _ = self.camera(
                 *adj, cost_volume=cv_adj, train=train, update_stats=cam_stats
             )
+            # the reference computes adjacent frames under torch.no_grad
+            # (bevdet_rc.py:765-769) — no parameter gradients flow through
+            # them.  stop_gradient here reproduces that AND lets XLA
+            # dead-code-eliminate the adjacent backward entirely: without
+            # it the train step stores every adjacent-frame backbone/LSS
+            # activation as an autodiff residual (~20 GB at batch 2).
+            adj_bev = jax.lax.stop_gradient(adj_bev)
             ny, nx, ch = adj_bev.shape[1:]
             adj_frames = adj_bev.reshape(b, f - 1, ny, nx, ch)
             if not with_prev:
