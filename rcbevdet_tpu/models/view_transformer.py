@@ -393,15 +393,17 @@ class LSSViewTransformerBEVDepth(nn.Module):
             # under autodiff the dense broadcast-product materializes as a
             # [B, P, C] residual (7.6 GB for the batched adjacent-frame
             # pass); the indexed form fuses into the scatter, so keep it on
-            # the training path
-            out = bev_pool_batch(
-                depth_ndhw,
-                feat,
-                jnp.broadcast_to(ranks_depth[None], (b, p)),
-                jnp.broadcast_to(ranks_feat[None], (b, p)),
-                ranks_bev.reshape(b, p),
-                nx * ny * nz,
-            )  # [B, nz*ny*nx, C]
+            # the training path — and remat it so the per-point gathers are
+            # recomputed in the backward instead of stored (~1.3 GB)
+            pool = jax.checkpoint(
+                lambda d_, f_, rb_: bev_pool_batch(
+                    d_, f_,
+                    jnp.broadcast_to(ranks_depth[None], (b, p)),
+                    jnp.broadcast_to(ranks_feat[None], (b, p)),
+                    rb_, nx * ny * nz,
+                )
+            )
+            out = pool(depth_ndhw, feat, ranks_bev.reshape(b, p))
         # collapse z (nz=1 in all shipped configs): (B, Z, Y, X, C)->[B,Y,X,Z*C]
         out = out.reshape(b, nz, ny, nx, c)
         out = jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)

@@ -142,10 +142,18 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         # round-trip + a bf16 dot_general, ~3 ms/layer on v5e)
         aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)  # [B,h,Lq,P]
         aw = aw.reshape(b * n_heads, lq * p, 1).astype(patch.dtype)
-        val = sum(
-            patch[..., si * hd : (si + 1) * hd] * (slot_w[si] * aw)
-            for si in range(4)
-        )  # [B*heads, Lq*P, hd]
+        # single fused multiply-reduce over the 4 packed slots: summing 4
+        # separate slot products keeps 4 [N, S, hd] intermediates live in
+        # the remat backward (4 x 2 GB at train shapes); the k-contraction
+        # form reduces in one pass (the [N,S,4hd]->[N,S,4,hd] reshape is a
+        # free minor-dim split, unlike the per-slot transposed slices this
+        # replaced earlier)
+        w4 = jnp.concatenate(
+            [slot_w[si] * aw for si in range(4)], axis=-1
+        )  # [N, S, 4]
+        val = jnp.einsum(
+            "nskh,nsk->nsh", patch.reshape(b * n_heads, lq * p, 4, hd), w4
+        )
         outputs.append(
             jnp.sum(val.reshape(b, n_heads, lq, p, hd), axis=3)
         )
