@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.linalg import inv3
-from ..ops.bev_pool import bev_pool_batch, bev_pool_dense_batch, bev_pool_ranks
+from ..ops.bev_pool import bev_pool, bev_pool_batch, bev_pool_dense_batch, bev_pool_ranks
 from .layers import BasicBlock, BatchNorm, Mlp, SELayer
 
 
@@ -390,20 +390,22 @@ class LSSViewTransformerBEVDepth(nn.Module):
                 depth_ndhw, feat, ranks_bev, nx * ny * nz
             )  # [B, nz*ny*nx, C]
         else:
-            # under autodiff the dense broadcast-product materializes as a
-            # [B, P, C] residual (7.6 GB for the batched adjacent-frame
-            # pass); the indexed form fuses into the scatter, so keep it on
-            # the training path — and remat it so the per-point gathers are
-            # recomputed in the backward instead of stored (~1.3 GB)
-            pool = jax.checkpoint(
-                lambda d_, f_, rb_: bev_pool_batch(
-                    d_, f_,
-                    jnp.broadcast_to(ranks_depth[None], (b, p)),
-                    jnp.broadcast_to(ranks_feat[None], (b, p)),
-                    rb_, nx * ny * nz,
+            # Training path: a vmapped batch-B scatter materializes the
+            # [B, P, C] per-point product in the FORWARD (7.6 GB for the
+            # batched adjacent-frame pass, the top train-OOM buffer;
+            # at B=1 XLA fuses the product into the scatter).  lax.map
+            # runs the per-sample pooling sequentially so only one
+            # sample's product is ever live, and per-sample remat keeps
+            # the backward residual at just (depth, feat).
+            pool_one = jax.checkpoint(
+                lambda d_, f_, rb_: bev_pool(
+                    d_, f_, ranks_depth, ranks_feat, rb_, nx * ny * nz
                 )
             )
-            out = pool(depth_ndhw, feat, ranks_bev.reshape(b, p))
+            out = jax.lax.map(
+                lambda args: pool_one(*args),
+                (depth_ndhw, feat, ranks_bev.reshape(b, p)),
+            )
         # collapse z (nz=1 in all shipped configs): (B, Z, Y, X, C)->[B,Y,X,Z*C]
         out = out.reshape(b, nz, ny, nx, c)
         out = jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)
