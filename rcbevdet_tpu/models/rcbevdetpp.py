@@ -14,10 +14,8 @@ Everything static-shape; training uses the device-side auction matcher of
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
-import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .resnet import ResNet

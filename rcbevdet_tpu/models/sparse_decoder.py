@@ -27,7 +27,7 @@ matching costs for padded rows are +inf-masked.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
