@@ -19,3 +19,4 @@ __all__ = [
     "synthetic_batch",
     "synthetic_sample",
 ]
+from .vod_dataset import VoDDataset, kitti_anno_to_lidar
