@@ -12,6 +12,7 @@ from .centerpoint_lidar import CenterPointPillars, PillarFeatureNet
 from .sparse_decoder import SparseBEVDecoder, set_prediction_loss, hungarian_match
 from .seg_head import BEVSegHead, seg_loss, seg_iou
 from .vovnet import VoVNetV2
+from .dla import DLANet
 from .temporal import shift_bev
 from .camf import CAMF, MSDeformAttn, LearnedPositionalEncoding, RadarConvFuser
 from .radar_encoder import RadarBEVNet

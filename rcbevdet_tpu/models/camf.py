@@ -43,9 +43,14 @@ class MSDeformAttn(nn.Module):
     n_points: int = 8
 
     @nn.compact
-    def __call__(self, query, reference_points, input_flatten, spatial_shapes):
+    def __call__(self, query, reference_points, input_flatten, spatial_shapes,
+                 train=False):
         """query [B, Lq, C]; reference_points [B, Lq, n_levels, 2] in [0,1];
-        input_flatten [B, sum(H*W), C]; spatial_shapes: static ((H, W), ...)."""
+        input_flatten [B, sum(H*W), C]; spatial_shapes: static ((H, W), ...).
+
+        ``train`` selects the sampling-core reduce form: the einsum
+        k-contraction (small remat residuals) when training, the copy-free
+        elementwise slot reduce for inference (see ops/deform_attn.py)."""
         n, lq, _ = query.shape
         h, lvl, pts = self.n_heads, self.n_levels, self.n_points
         hd = self.d_model // h
@@ -75,8 +80,11 @@ class MSDeformAttn(nn.Module):
         )
         # remat: the packed-corner patch ([B*heads, Lq*P, 4*hd], ~0.5 GB
         # per layer at train shapes) must not be stored for backward
+        reduce = "einsum" if train else "slices"
         core = jax.checkpoint(
-            lambda v, l, w: ms_deform_attn_core(v, spatial_shapes, l, w)
+            lambda v, l, w: ms_deform_attn_core(
+                v, spatial_shapes, l, w, reduce=reduce
+            )
         )
         out = core(value, locations, weights)
         return nn.Dense(self.d_model, name="output_proj")(out)
@@ -183,10 +191,10 @@ class CAMF(nn.Module):
         shapes = ((h, w),)
 
         f1 = MSDeformAttn(self.imc, 1, 8, 8, name="deform_attn1")(
-            radar_seq + pos1, ref, img_seq + pos2, shapes
+            radar_seq + pos1, ref, img_seq + pos2, shapes, train=train
         )
         f2 = MSDeformAttn(self.imc, 1, 8, 8, name="deform_attn2")(
-            img_seq + pos2, ref, radar_seq + pos1, shapes
+            img_seq + pos2, ref, radar_seq + pos1, shapes, train=train
         )
         f1 = f1.reshape(b, h, w, self.imc)
         f2 = f2.reshape(b, h, w, self.imc)

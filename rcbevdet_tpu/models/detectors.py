@@ -50,7 +50,9 @@ class RCBEVDetConfig:
     # camera branch
     input_size: Tuple[int, int] = (256, 704)
     downsample: int = 16
-    img_backbone_type: str = "resnet"  # 'resnet' | 'vovnet' (V2-99 configs)
+    # 'resnet' | 'vovnet' (V2-99) | 'swin[-x]' | 'convnext[-x]' | 'vit[-x]'
+    # | 'dla[-34]'
+    img_backbone_type: str = "resnet"
     resnet_depth: int = 50
     vovnet_spec: str = "V-99"
     img_neck_channels: int = 512
@@ -155,6 +157,17 @@ class CameraBEVBranch(nn.Module):
                 out_indices=(2, 3), return_stereo_feat=c.stereo,
                 name="img_backbone", **convnext_config(variant),
             )
+        elif c.img_backbone_type.startswith("dla"):
+            from .dla import DLANet
+
+            # DLA levels 2..5 are strides 4..32: level i+2 is the ResNet
+            # stage-i analog, so translate the stage-style out indices
+            self.img_backbone = DLANet(
+                depth=int(c.img_backbone_type.split("-")[-1])
+                if "-" in c.img_backbone_type else 34,
+                out_indices=tuple(i + 2 for i in out_idx),
+                name="img_backbone",
+            )
         elif c.img_backbone_type.startswith("swin"):
             from .swin import SwinTransformer, swin_config
 
@@ -198,7 +211,8 @@ class CameraBEVBranch(nn.Module):
         return s.reshape(b, n, *s.shape[1:])
 
     def __call__(self, imgs, sensor2keyegos, intrins, post_rots, post_trans,
-                 bda, cost_volume=None, train=False, update_stats=True):
+                 bda, cost_volume=None, train=False, update_stats=True,
+                 pool_meta=None):
         """imgs: [B, N, H, W, 3]; geometry per camera. Returns (bev, depth)."""
         c = self.cfg
         b, n, h, w, _ = imgs.shape
@@ -213,6 +227,7 @@ class CameraBEVBranch(nn.Module):
         bev, depth = self.img_view_transformer(
             x, sensor2keyegos, intrins, post_rots, post_trans, bda,
             cost_volume=cost_volume, train=train, update_stats=update_stats,
+            pool_meta=pool_meta,
         )
         bev = self.pre_process(bev, train=train, update_stats=update_stats)[0]
         return bev, depth
@@ -436,7 +451,8 @@ class RCBEVDet(nn.Module):
         ms = self.radar_backbone(canvas, train=train)
         return self.radar_neck(ms, train=train)
 
-    def forward_cached(self, batch, prev_bev, prev_sensor2keyegos):
+    def forward_cached(self, batch, prev_bev, prev_sensor2keyegos,
+                       pool_meta=None):
         """Deployment-style incremental inference (the FPS-benchmark
         semantics, reference tools/analysis_tools/benchmark_sequential.py +
         extract_img_feat_sequential, bevdet_rc.py:668-689): only the key
@@ -470,7 +486,8 @@ class RCBEVDet(nn.Module):
         bda = batch["bda"]
 
         key_bev, _ = self.camera(
-            imgs, s2k, intr, pr, pt, bda, train=False, update_stats=False
+            imgs, s2k, intr, pr, pt, bda, train=False, update_stats=False,
+            pool_meta=pool_meta,
         )
         b, ny, nx, ch = key_bev.shape
         f1 = prev_bev.shape[1]

@@ -36,9 +36,11 @@ class _DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, query, values, spatial_shapes, ref):
+        # HoP only runs on the training path (auxiliary supervision), so
+        # pin the remat-friendly einsum reduce form (see MSDeformAttn)
         attn = MSDeformAttn(
             self.dim, self.num_levels, self.num_heads, 4, name="attn"
-        )(query, ref, values, spatial_shapes)
+        )(query, ref, values, spatial_shapes, train=True)
         x = nn.LayerNorm(name="norm1")(query + attn)
         y = nn.Dense(self.ffn_dim, name="ffn_fc1")(x)
         y = nn.Dense(self.dim, name="ffn_fc2")(nn.relu(y))

@@ -116,12 +116,23 @@ def _sample_packed(value_bhwc, locs, h, w):
 
 
 def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
-                               attention_weights):
+                               attention_weights, reduce="einsum"):
     """Packed-corner-gather deformable attention (TPU fast path).
 
     Same contract as :func:`ms_deform_attn_core`; one row-gather per level
     instead of four corner-gathers — ~8x faster on v5e at CAMF shapes
-    (16384 queries x 8 heads x 8 points over a 128x128 single level)."""
+    (16384 queries x 8 heads x 8 points over a 128x128 single level).
+
+    reduce: how the 4 packed slots x attention weights are contracted.
+      'einsum'  — one k-contraction dot_general.  Under jax.checkpoint this
+        keeps a single fused reduce in the remat backward (the 4 slot
+        products would otherwise live as ~2 GB residuals at train shapes),
+        so it is the TRAIN path — but on the forward-only path the MXU dot
+        forces XLA to lay the [N, S, 4hd] patch out twice in transposed
+        form (~2 ms/layer of pure copies at CAMF inference shapes).
+      'slices'  — elementwise slot-slice multiply-add that fuses straight
+        into the gather output with no layout copies: the INFERENCE path.
+    """
     b, len_in, n_heads, hd = value.shape
     outputs = []
     start = 0
@@ -142,18 +153,24 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         # round-trip + a bf16 dot_general, ~3 ms/layer on v5e)
         aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)  # [B,h,Lq,P]
         aw = aw.reshape(b * n_heads, lq * p, 1).astype(patch.dtype)
-        # single fused multiply-reduce over the 4 packed slots: summing 4
-        # separate slot products keeps 4 [N, S, hd] intermediates live in
-        # the remat backward (4 x 2 GB at train shapes); the k-contraction
-        # form reduces in one pass (the [N,S,4hd]->[N,S,4,hd] reshape is a
-        # free minor-dim split, unlike the per-slot transposed slices this
-        # replaced earlier)
-        w4 = jnp.concatenate(
-            [slot_w[si] * aw for si in range(4)], axis=-1
-        )  # [N, S, 4]
-        val = jnp.einsum(
-            "nskh,nsk->nsh", patch.reshape(b * n_heads, lq * p, 4, hd), w4
-        )
+        if reduce == "einsum":
+            # single fused multiply-reduce over the 4 packed slots: summing
+            # 4 separate slot products keeps 4 [N, S, hd] intermediates
+            # live in the remat backward (4 x 2 GB at train shapes); the
+            # k-contraction form reduces in one pass (the
+            # [N,S,4hd]->[N,S,4,hd] reshape is a free minor-dim split)
+            w4 = jnp.concatenate(
+                [slot_w[si] * aw for si in range(4)], axis=-1
+            )  # [N, S, 4]
+            val = jnp.einsum(
+                "nskh,nsk->nsh", patch.reshape(b * n_heads, lq * p, 4, hd),
+                w4,
+            )
+        else:  # 'slices': elementwise, fuses with the gather (no copies)
+            val = sum(
+                patch[..., si * hd : (si + 1) * hd] * (slot_w[si] * aw)
+                for si in range(4)
+            )
         outputs.append(
             jnp.sum(val.reshape(b, n_heads, lq, p, hd), axis=3)
         )

@@ -88,6 +88,46 @@ RULES: List[Tuple[str, str]] = [
     (r"^img_backbone\.stages\.(\d+)\.(\d+)\.gamma$",
      _CAM + r"img_backbone/stage\1_block\2/gamma"),
     # (img_backbone.norm{i} out-norms shared with the Swin rule above)
+    # ---- image backbone (DLA, models/backbones/dla.py) ----
+    # Sequential indices: base_layer/level conv levels are [conv,bn,relu]*n,
+    # so torch index 3j is conv{j} and 3j+1 is bn{j}; Trees nest at most one
+    # level deep in DLA-34 (levels table dla.py:306), enumerated explicitly.
+    (r"^img_backbone\.base_layer\.0\.weight$",
+     _CAM + "img_backbone/base_conv/kernel"),
+    (r"^img_backbone\.base_layer\.1\.(\w+)$",
+     _CAM + "img_backbone/base_bn/@bn1"),
+    (r"^img_backbone\.level([01])\.0\.weight$",
+     _CAM + r"img_backbone/level\1_conv0/kernel"),
+    (r"^img_backbone\.level([01])\.1\.(\w+)$",
+     _CAM + r"img_backbone/level\1_bn0/@bn2"),
+    (r"^img_backbone\.level([01])\.3\.weight$",
+     _CAM + r"img_backbone/level\1_conv1/kernel"),
+    (r"^img_backbone\.level([01])\.4\.(\w+)$",
+     _CAM + r"img_backbone/level\1_bn1/@bn2"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.conv([12])\.weight$",
+     _CAM + r"img_backbone/level\1/tree\2/conv\3/kernel"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.bn([12])\.(\w+)$",
+     _CAM + r"img_backbone/level\1/tree\2/bn\3/@bn4"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.tree([12])\.conv([12])\.weight$",
+     _CAM + r"img_backbone/level\1/tree\2/tree\3/conv\4/kernel"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.tree([12])\.bn([12])\.(\w+)$",
+     _CAM + r"img_backbone/level\1/tree\2/tree\3/bn\4/@bn5"),
+    (r"^img_backbone\.level(\d)\.root\.conv\.weight$",
+     _CAM + r"img_backbone/level\1/root/conv/kernel"),
+    (r"^img_backbone\.level(\d)\.root\.bn\.(\w+)$",
+     _CAM + r"img_backbone/level\1/root/bn/@bn2"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.root\.conv\.weight$",
+     _CAM + r"img_backbone/level\1/tree\2/root/conv/kernel"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.root\.bn\.(\w+)$",
+     _CAM + r"img_backbone/level\1/tree\2/root/bn/@bn3"),
+    (r"^img_backbone\.level(\d)\.project\.0\.weight$",
+     _CAM + r"img_backbone/level\1/project_conv/kernel"),
+    (r"^img_backbone\.level(\d)\.project\.1\.(\w+)$",
+     _CAM + r"img_backbone/level\1/project_bn/@bn2"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.project\.0\.weight$",
+     _CAM + r"img_backbone/level\1/tree\2/project_conv/kernel"),
+    (r"^img_backbone\.level(\d)\.tree([12])\.project\.1\.(\w+)$",
+     _CAM + r"img_backbone/level\1/tree\2/project_bn/@bn3"),
     # ---- image neck (CustomFPN) ----
     (r"^img_neck\.lateral_convs\.(\d+)\.conv\.(weight|bias)$",
      _CAM + r"img_neck/lateral_\1/@conv2"),

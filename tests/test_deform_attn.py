@@ -101,3 +101,29 @@ def test_packed_equals_gather4_with_oob():
     a = ms_deform_attn_core_gather4(value, shapes, locs, w)
     c = ms_deform_attn_core_packed(value, shapes, locs, w)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
+
+
+def test_packed_slices_reduce_equals_einsum():
+    """The inference 'slices' reduce must match the train 'einsum' reduce."""
+    from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core_packed
+
+    rng = np.random.default_rng(11)
+    b, heads, hd, lq, p = 2, 4, 8, 64, 6
+    shapes = [(16, 24)]
+    len_in = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, len_in, heads, hd)), jnp.float32
+    )
+    locs = jnp.asarray(
+        rng.uniform(-0.3, 1.3, (b, lq, heads, len(shapes), p, 2)),
+        jnp.float32,
+    )
+    w = jax.nn.softmax(
+        jnp.asarray(
+            rng.standard_normal((b, lq, heads, len(shapes) * p)), jnp.float32
+        ),
+        axis=-1,
+    ).reshape(b, lq, heads, len(shapes), p)
+    a = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="einsum")
+    c = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="slices")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)

@@ -429,3 +429,34 @@ def test_swin_transformer_forward_parity(rng):
     for j, t in zip(j_outs, t_outs):
         np.testing.assert_allclose(
             np.moveaxis(np.asarray(j), -1, 1), t.numpy(), **TOL)
+
+
+# ----------------------------------------------------------------------- DLA
+def test_dla_forward_parity(rng):
+    import refshim as rs
+
+    rs.install()
+    ref_mod = rs._load_by_path("mmdet3d/models/backbones/dla.py")
+    tm = ref_mod.DLANet(
+        depth=34, norm_cfg=dict(type="BN"), out_indices=(2, 3, 4, 5),
+    )
+    tm.eval()
+    _randomize_params(tm, rng)
+    _randomize_bn_stats(tm, rng)
+
+    x = rng.standard_normal((2, 3, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(torch.tensor(x))
+
+    from rcbevdet_tpu.models.dla import DLANet
+
+    jm = DLANet(depth=34, out_indices=(2, 3, 4, 5))
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    variables = _convert(tm, "img_backbone.", variables,
+                         ("camera", "img_backbone"))
+    j_outs = jm.apply(variables, jx)
+    assert len(j_outs) == len(t_outs) == 4
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(j), -1, 1), t.numpy(), **TOL)
