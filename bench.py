@@ -135,15 +135,27 @@ def main():
     )
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
+    # accelerate-mode pooling metadata: precomputed ONCE on host for the
+    # fixed camera rig, exactly like the reference benchmark's
+    # `accelerate=True` rank precompute (benchmark_sequential.py:57-59,
+    # view_transformer.py:267-271) — setup cost, not per-frame cost
+    from rcbevdet_tpu.models.view_transformer import precompute_lss_pool_meta
+
+    pool_meta = precompute_lss_pool_meta(
+        cfg.grid_config, cfg.input_size, cfg.downsample,
+        full["sensor2keyegos"][0, 0], full["intrins"][0, 0],
+        full["post_rots"][0, 0], full["post_trans"][0, 0], full["bda"][0],
+    )
+
     def make_step(m=model):
         import functools
 
         @functools.partial(
             jax.jit, compiler_options=tpu_compiler_options()
         )
-        def step(variables, batch, prev_bev, prev_s2k):
+        def step(variables, batch, prev_bev, prev_s2k, pool_meta):
             preds, key_bev = m.apply(
-                variables, batch, prev_bev, prev_s2k,
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             dec = decode_predictions(preds)
@@ -182,10 +194,10 @@ def main():
             vbench, kb, prev_bev = variables, key_batch, prev_bev0
 
         step = make_step(model_bf16 if dtype_name == "bfloat16" else model)
-        dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
+        dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k, pool_meta)
         jax.block_until_ready(dec.bboxes)
         for _ in range(warmup):
-            dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k)
+            dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k, pool_meta)
         jax.block_until_ready(dec.bboxes)
 
         state = {"prev_bev": prev_bev}
@@ -194,7 +206,7 @@ def main():
             pb = state["prev_bev"]
             d = None
             for _ in range(n):
-                d, pb = step(vbench, kb, pb, prev_s2k)
+                d, pb = step(vbench, kb, pb, prev_s2k, pool_meta)
             jax.block_until_ready(d.bboxes)
             state["prev_bev"] = pb
 
@@ -204,7 +216,7 @@ def main():
 
         # cost analysis via the SAME jitted function (hits the persistent
         # compile cache rather than recompiling a fresh wrapper)
-        compiled = step.lower(vbench, kb, prev_bev, prev_s2k).compile(
+        compiled = step.lower(vbench, kb, prev_bev, prev_s2k, pool_meta).compile(
             compiler_options=tpu_compiler_options()
         )
         cost = compiled.cost_analysis()
@@ -220,7 +232,7 @@ def main():
     # ONCE through a fresh jit instance so the timed executables above stay
     # un-poisoned (the reference's timed loop includes its CUDA rotated NMS)
     step_nms = make_step()
-    dec, _ = step_nms(variables, key_batch, prev_bev0, prev_s2k)
+    dec, _ = step_nms(variables, key_batch, prev_bev0, prev_s2k, pool_meta)
     t0 = time.perf_counter()
     bboxes, scores, labels, valid = jax.device_get(
         (dec.bboxes, dec.scores, dec.labels, dec.valid)

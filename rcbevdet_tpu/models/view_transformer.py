@@ -313,7 +313,7 @@ class LSSViewTransformerBEVDepth(nn.Module):
     @nn.compact
     def __call__(
         self, x, sensor2ego, intrins, post_rots, post_trans, bda,
-        cost_volume=None, train=False, update_stats=True,
+        cost_volume=None, train=False, update_stats=True, pool_meta=None,
     ):
         b, n, hf, wf, c = x.shape
         num_d = self.depth_bins
@@ -342,18 +342,33 @@ class LSSViewTransformerBEVDepth(nn.Module):
             depth.reshape(b, n, hf, wf, num_d),
             tran_feat.reshape(b, n, hf, wf, self.out_channels),
             sensor2ego, intrins, post_rots, post_trans, bda, train=train,
+            pool_meta=pool_meta,
         )
         return bev, depth.reshape(b, n, hf, wf, num_d)
 
     def view_transform(
         self, depth, feat, sensor2ego, intrins, post_rots, post_trans, bda,
-        train=False,
+        train=False, pool_meta=None,
     ):
-        """depth [B, N, Hf, Wf, D]; feat [B, N, Hf, Wf, C] -> [B, ny, nx, C]."""
+        """depth [B, N, Hf, Wf, D]; feat [B, N, Hf, Wf, C] -> [B, ny, nx, C].
+
+        ``pool_meta`` (a PoolMeta, B=1 only) switches to the accelerate
+        path: ranks precomputed on host for fixed geometry (reference
+        accelerate mode, view_transformer.py:159-178), pooled by the
+        Pallas tile-matmul splat — the per-frame geometry math and the
+        scatter both drop out of the graph."""
         b, n, hf, wf, num_d = depth.shape
         c = feat.shape[-1]
         nx, ny, nz = self.grid_size
         gc = self.grid_config
+        if pool_meta is not None:
+            from ..ops.bev_pool_accel import bev_pool_accel
+
+            assert b == 1, "accelerate pooling is per-sample (deploy path)"
+            depth_ndhw = jnp.moveaxis(depth, -1, 2)  # [B, N, D, Hf, Wf]
+            out = bev_pool_accel(depth_ndhw[0], feat[0], pool_meta)[None]
+            out = out.reshape(b, nz, ny, nx, c)
+            return jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)
         frustum = create_frustum(gc["depth"], self.input_size, self.downsample)
         coor = frustum_to_ego(frustum, sensor2ego, intrins, post_rots, post_trans, bda)
         ranks_bev = bev_pool_ranks(
@@ -447,3 +462,53 @@ def depth_loss(gt_depth, pred_depth, downsample, depth_cfg, weight=3.0):
     bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
     bce = jnp.sum(bce * fg[:, None])
     return weight * bce / jnp.maximum(1.0, jnp.sum(fg))
+
+
+def precompute_lss_pool_meta(
+    grid_config, input_size, downsample, sensor2ego, intrins, post_rots,
+    post_trans, bda, cells_per_tile=128, chunk=1024,
+):
+    """Host-side accelerate-mode pooling metadata for ONE sample.
+
+    Runs the same frustum -> ego -> rank math as ``view_transform`` (so the
+    accelerate path is numerically identical to the dense path) and hands
+    the flat rank tables to ``ops.bev_pool_accel.precompute_pool_meta``.
+    The reference analog precomputes exactly these tables once per fixed
+    camera rig (view_transformer.py:159-178,267-271).
+
+    Args:
+      sensor2ego: [N, 4, 4] (single sample); intrins/post_rots [N, 3, 3];
+      post_trans [N, 3]; bda [3, 3].
+    """
+    import numpy as np
+
+    from ..ops.bev_pool_accel import precompute_pool_meta
+
+    gc = grid_config
+    nx, ny, nz = (
+        int(round((gc[k][1] - gc[k][0]) / gc[k][2])) for k in ("x", "y", "z")
+    )
+    frustum = create_frustum(gc["depth"], input_size, downsample)
+    coor = frustum_to_ego(
+        frustum,
+        jnp.asarray(sensor2ego)[None],
+        jnp.asarray(intrins)[None],
+        jnp.asarray(post_rots)[None],
+        jnp.asarray(post_trans)[None],
+        jnp.asarray(bda)[None],
+    )
+    ranks = bev_pool_ranks(
+        coor,
+        (gc["x"][0], gc["y"][0], gc["z"][0]),
+        (gc["x"][2], gc["y"][2], gc["z"][2]),
+        (nx, ny, nz),
+    )  # [1, N, D, Hf, Wf]
+    _, n, num_d, hf, wf = ranks.shape
+    rf = np.broadcast_to(
+        np.arange(n * hf * wf, dtype=np.int32).reshape(n, 1, hf * wf),
+        (n, num_d, hf * wf),
+    ).reshape(-1)
+    return precompute_pool_meta(
+        np.asarray(ranks).reshape(-1), rf, nx * ny * nz,
+        cells_per_tile=cells_per_tile, chunk=chunk,
+    )

@@ -1,0 +1,213 @@
+"""Accelerate-mode LSS pooling: static-geometry metadata + Pallas splat.
+
+The reference's deployment benchmark precomputes the LSS rank tables once
+for fixed camera geometry and reuses them every frame
+(``accelerate`` mode, reference view_transformer.py:159-178,267-271;
+benchmark_sequential.py:57-59).  This module is the TPU analog — and it
+removes the per-frame scatter entirely:
+
+- :func:`precompute_pool_meta` (host, numpy) sorts the frustum points by
+  BEV rank, drops out-of-range points, groups the survivors by BEV *tile*
+  (``cells_per_tile`` consecutive cells), and pads each tile's point list
+  to ``chunk``-sized chunks.
+- :func:`bev_pool_accel` (device) gathers the per-point depth x feature
+  products in sorted order, then a Pallas kernel accumulates each chunk
+  into its tile with ONE MXU matmul: ``out_tile += onehot(local_cell)^T @
+  vals`` — the XLA scatter-add (~9 ns/row serialization, 4.7 ms/frame at
+  RCBEVDet shapes on v5e) becomes ~10 GFLOP of dense matmul.
+
+The kernel relies on chunks being ordered by tile (guaranteed by the
+host precompute): Pallas keeps the output tile resident in VMEM across
+consecutive chunks of the same tile and writes it back once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PoolMeta:
+    """Precomputed pooling layout (one sample, fixed geometry).
+
+    perm:       [P'] int32 — flat frustum-point index per slot, sorted by
+                BEV rank and tile-padded; padding slots hold ``p_total``
+                (a sentinel row whose depth is zero-padded on device).
+    rf_perm:    [P'] int32 — feature row per slot (0 for padding).
+    local_cell: [n_chunks, chunk] int32 — cell index within the tile.
+    chunk_tile: [n_chunks] int32 — tile id per chunk, nondecreasing.
+    """
+
+    perm: Any
+    rf_perm: Any
+    local_cell: Any
+    chunk_tile: Any
+    num_cells: int = dataclasses.field(default=0)
+    cells_per_tile: int = dataclasses.field(default=128)
+
+    def tree_flatten(self):
+        leaves = (self.perm, self.rf_perm, self.local_cell, self.chunk_tile)
+        return leaves, (self.num_cells, self.cells_per_tile)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, num_cells=aux[0], cells_per_tile=aux[1])
+
+
+def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
+                         cells_per_tile=128, chunk=1024):
+    """Build :class:`PoolMeta` from one sample's flat rank tables (host).
+
+    Args:
+      ranks_bev_flat: [P] int array, BEV cell per frustum point
+        (``num_cells`` marks out-of-range points — they are dropped here,
+        mirroring the reference's valid-point compaction,
+        view_transformer.py:238-244, which is legal precisely because the
+        accelerate path fixes the geometry).
+      ranks_feat_flat: [P] int array, feature row per frustum point.
+      num_cells: static int, nx*ny*nz; must divide by cells_per_tile.
+    """
+    assert num_cells % cells_per_tile == 0
+    assert chunk % 8 == 0, "chunk must be sublane-aligned"
+    ranks = np.asarray(ranks_bev_flat).reshape(-1)
+    rf = np.asarray(ranks_feat_flat).reshape(-1)
+    p_total = ranks.shape[0]
+    valid = ranks < num_cells
+    order = np.argsort(ranks[valid], kind="stable")
+    perm_v = np.nonzero(valid)[0][order].astype(np.int64)
+    ranks_v = ranks[perm_v]
+    tiles_v = ranks_v // cells_per_tile
+    n_tiles = num_cells // cells_per_tile
+
+    perm_chunks, rf_chunks, cell_chunks, chunk_tiles = [], [], [], []
+    bounds = np.searchsorted(tiles_v, np.arange(n_tiles + 1))
+    for t in range(n_tiles):
+        s, e = int(bounds[t]), int(bounds[t + 1])
+        cnt = e - s
+        n_ch = max(1, -(-cnt // chunk))  # empty tiles still get one chunk
+        padded = n_ch * chunk
+        perm_t = np.full(padded, p_total, np.int64)
+        rf_t = np.zeros(padded, np.int64)
+        cell_t = np.zeros(padded, np.int64)
+        perm_t[:cnt] = perm_v[s:e]
+        rf_t[:cnt] = rf[perm_v[s:e]]
+        cell_t[:cnt] = ranks_v[s:e] - t * cells_per_tile
+        perm_chunks.append(perm_t)
+        rf_chunks.append(rf_t)
+        cell_chunks.append(cell_t)
+        chunk_tiles.extend([t] * n_ch)
+
+    perm = np.concatenate(perm_chunks).astype(np.int32)
+    return PoolMeta(
+        perm=jnp.asarray(perm),
+        rf_perm=jnp.asarray(np.concatenate(rf_chunks).astype(np.int32)),
+        # [n_chunks, 8, chunk//8]: Mosaic requires the last two block dims
+        # tileable (8, 128) — a (1, chunk) block is rejected
+        local_cell=jnp.asarray(
+            np.concatenate(cell_chunks).astype(np.int32)
+            .reshape(-1, 8, chunk // 8)
+        ),
+        chunk_tile=jnp.asarray(np.asarray(chunk_tiles, np.int32)),
+        num_cells=num_cells,
+        cells_per_tile=cells_per_tile,
+    )
+
+
+def _splat_kernel(ct_ref, cell_ref, vals_ref, out_ref):
+    i = pl.program_id(0)
+    prev = ct_ref[jnp.maximum(i - 1, 0)]
+
+    @pl.when(jnp.logical_or(i == 0, ct_ref[i] != prev))
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sub, lanes = cell_ref.shape[1], cell_ref.shape[2]
+    cpt = out_ref.shape[0]
+    # build the one-hot in the cells' native (sub, lanes) tiling, then
+    # merge the major dims into sublanes — a lane-preserving reshape
+    # Mosaic supports (a (1,8,128)->(1024,1) lane->sublane cast is not)
+    onehot = (
+        cell_ref[0][:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (sub, lanes, cpt), 2)
+    ).astype(vals_ref.dtype)
+    # f32 inputs: HIGHEST, else the default single-pass bf16 MXU matmul
+    # rounds vals to bf16 (~1e-3 error vs the scatter oracle).  bf16
+    # inputs: leave default — products are exact and accumulate in f32
+    # via preferred_element_type (Mosaic rejects HIGHEST for bf16 lhs).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if vals_ref.dtype == jnp.float32 else None
+    )
+    out_ref[:] += jax.lax.dot_general(
+        onehot.reshape(sub * lanes, cpt), vals_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_cells", "cells_per_tile", "interpret")
+)
+def _splat(vals, local_cell, chunk_tile, num_cells, cells_per_tile,
+           interpret=False):
+    n_chunks, sub, lanes = local_cell.shape
+    chunk = sub * lanes
+    c = vals.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, sub, lanes), lambda i, ct: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, c), lambda i, ct: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (cells_per_tile, c), lambda i, ct: (ct[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _splat_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_cells, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(chunk_tile, local_cell, vals)
+
+
+def bev_pool_accel(depth_ndhw, feat, meta: PoolMeta, interpret=None):
+    """Pooled BEV features for ONE sample under precomputed geometry.
+
+    Args:
+      depth_ndhw: [N, D, Hf, Wf] softmax depth (frustum order — the flat
+        index IS ``ranks_depth``, like ops/bev_pool.bev_pool_dense).
+      feat: [N, Hf, Wf, C] image features.
+      meta: :class:`PoolMeta` for this sample's geometry.
+
+    Returns:
+      [num_cells, C] pooled features (feat dtype).
+    """
+    if interpret is None:  # run interpreted off-TPU (CPU tests / CLI)
+        interpret = jax.default_backend() != "tpu"
+    c = feat.shape[-1]
+    depth_flat = depth_ndhw.reshape(-1).astype(feat.dtype)
+    depth_pad = jnp.concatenate(
+        [depth_flat, jnp.zeros((1,), depth_flat.dtype)]
+    )
+    feat_flat = feat.reshape(-1, c)
+    vals = feat_flat[meta.rf_perm] * depth_pad[meta.perm][:, None]
+    out = _splat(
+        vals, meta.local_cell, meta.chunk_tile,
+        meta.num_cells, meta.cells_per_tile, interpret=interpret,
+    )
+    return out.astype(feat.dtype)

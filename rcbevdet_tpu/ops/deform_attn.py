@@ -143,7 +143,18 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         value_l = jnp.moveaxis(value_l, 3, 1).reshape(b * n_heads, h, w, hd)
         locs_l = sampling_locations[:, :, :, lvl]  # [B, Lq, heads, P, 2]
         lq, p = locs_l.shape[1], locs_l.shape[3]
-        locs_l = jnp.moveaxis(locs_l, 2, 1).reshape(b * n_heads, lq * p, 2)
+        if reduce == "slices":
+            # P-MAJOR row order: row index = point * Lq + query, so the
+            # final P-reduction is a sum of 8 contiguous [Lq, C] planes
+            # (sequential reads) instead of a stride-8 sublane reduction,
+            # which XLA executes ~2.5x slower at these shapes
+            locs_l = jnp.transpose(locs_l, (0, 2, 3, 1, 4)).reshape(
+                b * n_heads, p * lq, 2
+            )
+        else:
+            locs_l = jnp.moveaxis(locs_l, 2, 1).reshape(
+                b * n_heads, lq * p, 2
+            )
         fx = locs_l[..., 0] * w - 0.5
         fy = locs_l[..., 1] * h - 0.5
         patch, slot_w = packed_bilinear_parts(value_l, fx, fy, h, w)
@@ -152,7 +163,11 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         # in the same pass over the patch (saves a [B*heads, Lq, P, hd]
         # round-trip + a bf16 dot_general, ~3 ms/layer on v5e)
         aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)  # [B,h,Lq,P]
-        aw = aw.reshape(b * n_heads, lq * p, 1).astype(patch.dtype)
+        if reduce == "slices":
+            aw = jnp.moveaxis(aw, 3, 2)  # [B, h, P, Lq] to match P-major rows
+            aw = aw.reshape(b * n_heads, p * lq, 1).astype(patch.dtype)
+        else:
+            aw = aw.reshape(b * n_heads, lq * p, 1).astype(patch.dtype)
         if reduce == "einsum":
             # single fused multiply-reduce over the 4 packed slots: summing
             # 4 separate slot products keeps 4 [N, S, hd] intermediates
@@ -167,13 +182,27 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
                 w4,
             )
         else:  # 'slices': elementwise, fuses with the gather (no copies)
+            # materialize the 4 combined slot weights ([N, S, 1] each, ~8 MB
+            # total at CAMF shapes) so the big patch-reduce fusion doesn't
+            # recompute the floor/clip/compare slot logic per channel lane
+            # (measured: the fused recompute is VPU-bound at ~1.6 ms/layer)
+            w4 = jax.lax.optimization_barrier(
+                tuple(slot_w[si] * aw for si in range(4))
+            )
             val = sum(
-                patch[..., si * hd : (si + 1) * hd] * (slot_w[si] * aw)
+                patch[..., si * hd : (si + 1) * hd] * w4[si]
                 for si in range(4)
             )
-        outputs.append(
-            jnp.sum(val.reshape(b, n_heads, lq, p, hd), axis=3)
-        )
+        if reduce == "slices":
+            # P-major rows: [p, lq] -> reduce the leading point axis as a
+            # sum of contiguous [Lq, hd] planes
+            outputs.append(
+                jnp.sum(val.reshape(b, n_heads, p, lq, hd), axis=2)
+            )
+        else:
+            outputs.append(
+                jnp.sum(val.reshape(b, n_heads, lq, p, hd), axis=3)
+            )
     out = sum(outputs)
     return jnp.moveaxis(out, 1, 2).reshape(b, -1, n_heads * hd)
 

@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--flops", action="store_true", help="print XLA cost analysis")
+    p.add_argument(
+        "--accelerate", action="store_true",
+        help="sequential mode: precompute LSS pooling metadata on host for "
+             "the fixed rig (reference benchmark_sequential.py:57-59) and "
+             "use the Pallas tile-matmul splat",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -79,17 +85,28 @@ def main(argv=None):
         )
         prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
+        pool_meta = None
+        if args.accelerate:
+            from ..models.view_transformer import precompute_lss_pool_meta
+
+            pool_meta = precompute_lss_pool_meta(
+                mcfg.grid_config, mcfg.input_size, mcfg.downsample,
+                full["sensor2keyegos"][0, 0], full["intrins"][0, 0],
+                full["post_rots"][0, 0], full["post_trans"][0, 0],
+                full["bda"][0],
+            )
+
         @functools.partial(
             jax.jit, compiler_options=tpu_compiler_options()
         )
-        def step(variables, batch, prev_bev, prev_s2k):
+        def step(variables, batch, prev_bev, prev_s2k, pool_meta=None):
             preds, key_bev = model.apply(
-                variables, batch, prev_bev, prev_s2k,
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             return decode_predictions(preds), key_bev
 
-        fn = lambda: step(variables, key_batch, prev_bev, prev_s2k)
+        fn = lambda: step(variables, key_batch, prev_bev, prev_s2k, pool_meta)
 
     out = fn()
     jax.block_until_ready(out)
