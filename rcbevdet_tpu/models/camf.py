@@ -80,7 +80,7 @@ class MSDeformAttn(nn.Module):
         )
         # remat: the packed-corner patch ([B*heads, Lq*P, 4*hd], ~0.5 GB
         # per layer at train shapes) must not be stored for backward
-        reduce = "einsum" if train else "slices"
+        reduce = "einsum" if train else "pallas"
         core = jax.checkpoint(
             lambda v, l, w: ms_deform_attn_core(
                 v, spatial_shapes, l, w, reduce=reduce

@@ -131,7 +131,12 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         forces XLA to lay the [N, S, 4hd] patch out twice in transposed
         form (~2 ms/layer of pure copies at CAMF inference shapes).
       'slices'  — elementwise slot-slice multiply-add that fuses straight
-        into the gather output with no layout copies: the INFERENCE path.
+        into the gather output with no layout copies.
+      'pallas'  — the slot combine + point reduce runs as a Pallas MXU
+        kernel (ops/deform_attn_pallas.py), streaming the gathered patch
+        once: ~2.6x faster than the XLA loop fusion at CAMF shapes — the
+        INFERENCE path (forward-only; falls back to 'slices' when Lq is
+        not lane-aligned).
     """
     b, len_in, n_heads, hd = value.shape
     outputs = []
@@ -143,7 +148,9 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         value_l = jnp.moveaxis(value_l, 3, 1).reshape(b * n_heads, h, w, hd)
         locs_l = sampling_locations[:, :, :, lvl]  # [B, Lq, heads, P, 2]
         lq, p = locs_l.shape[1], locs_l.shape[3]
-        if reduce == "slices":
+        if reduce == "pallas" and lq % 128:
+            reduce = "slices"
+        if reduce in ("slices", "pallas"):
             # P-MAJOR row order: row index = point * Lq + query, so the
             # final P-reduction is a sum of 8 contiguous [Lq, C] planes
             # (sequential reads) instead of a stride-8 sublane reduction,
@@ -163,11 +170,24 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         # in the same pass over the patch (saves a [B*heads, Lq, P, hd]
         # round-trip + a bf16 dot_general, ~3 ms/layer on v5e)
         aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)  # [B,h,Lq,P]
-        if reduce == "slices":
+        if reduce in ("slices", "pallas"):
             aw = jnp.moveaxis(aw, 3, 2)  # [B, h, P, Lq] to match P-major rows
             aw = aw.reshape(b * n_heads, p * lq, 1).astype(patch.dtype)
         else:
             aw = aw.reshape(b * n_heads, lq * p, 1).astype(patch.dtype)
+        if reduce == "pallas":
+            from .deform_attn_pallas import combine4_p_reduce
+
+            # [N, 4, S] weight layout keeps the HBM reads lane-dense (a
+            # [N, S, 4] minor-dim-4 array reads 32x padded)
+            w4t = jnp.stack(
+                [(slot_w[si] * aw)[..., 0] for si in range(4)], axis=1
+            )
+            out_l = combine4_p_reduce(patch, w4t, p=p, hd=hd)
+            outputs.append(
+                out_l.reshape(b, n_heads, lq, hd).astype(patch.dtype)
+            )
+            continue
         if reduce == "einsum":
             # single fused multiply-reduce over the 4 packed slots: summing
             # 4 separate slot products keeps 4 [N, S, hd] intermediates

@@ -1,0 +1,108 @@
+"""Pallas slot-combine + point-reduce for packed deformable attention.
+
+The packed-corner deform-attn path (``ops/deform_attn.py``) gathers a
+[N, S, 4*hd] corner patch (N = batch*heads, S = points*queries, P-major
+rows), then contracts the 4 bilinear corner slots with per-row weights and
+reduces the point axis.  As plain XLA that contraction is a VPU-bound
+loop fusion (~2.4 ms/layer at CAMF shapes on v5e): every output lane
+re-broadcasts the per-row slot weights across the 128-lane vregs.
+
+This kernel streams the patch once and does both weight broadcast and
+lane-group reduction on the MXU instead:
+
+    w128 = w4tile^T @ E      E[si] = indicator of the si-th hd-lane group
+    out += (patch * w128) @ R,   R = vertically stacked I_hd
+
+so the only VPU work is one elementwise multiply.  Measured 0.80 ms/layer
+vs 2.79 ms for the XLA fusion (bf16, N=8, Lq=16384, P=8, hd=32) — the
+kernel runs at ~335 GB/s of patch streaming.
+
+Weights are taken pre-transposed as [N, 4, S]: a [N, S, 4] array would be
+lane-padded 4->128 in HBM's tiled layout, costing 32x read amplification
+(measured: it caps the kernel at ~130 GB/s).
+
+Reference analog: the corner-weighted accumulation loop of
+ms_deform_im2col_cuda.cuh:238 (there per-thread scalar FMAs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _combine_kernel(p_ref, w_ref, e_ref, r_ref, o_ref):
+    p_idx = pl.program_id(2)
+
+    @pl.when(p_idx == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # [4, T] x [4, C4] -> [T, C4]: contracting the sublane dim avoids an
+    # explicit in-kernel transpose of the weight tile
+    w128 = jax.lax.dot_general(
+        w_ref[0], e_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    val = p_ref[0] * w128.astype(p_ref.dtype)
+    o_ref[0] += jax.lax.dot_general(
+        val, r_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "hd", "block_q", "interpret")
+)
+def combine4_p_reduce(patch, w4t, p, hd, block_q=8192, interpret=None):
+    """out[n, q, :] = sum_p sum_si patch[n, p*Lq+q, si*hd:(si+1)*hd]
+                                   * w4t[n, si, p*Lq+q]
+
+    Args:
+      patch: [N, P*Lq, 4*hd] packed corner rows, P-major (row = p*Lq + q).
+      w4t:   [N, 4, P*Lq] combined slot weights
+             (slot weight * attention weight) pre-transposed so the HBM
+             layout is lane-dense.
+      p, hd: static point count / head dim.
+
+    Returns [N, Lq, hd] float32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, s, c4 = patch.shape
+    assert c4 == 4 * hd and s % p == 0
+    lq = s // p
+    t = block_q
+    while lq % t:
+        t //= 2
+    n_lq = lq // t
+    e = jnp.asarray(
+        (np.arange(c4)[None] // hd == np.arange(4)[:, None]), jnp.float32
+    )
+    r = jnp.asarray(
+        (np.arange(c4)[:, None] % hd == np.arange(hd)[None]), np.float32
+    ).astype(patch.dtype)
+    f = pl.pallas_call(
+        _combine_kernel,
+        grid=(n, n_lq, p),
+        in_specs=[
+            pl.BlockSpec((1, t, c4), lambda h, q, pp: (h, pp * n_lq + q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, t), lambda h, q, pp: (h, 0, pp * n_lq + q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c4), lambda h, q, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c4, hd), lambda h, q, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, hd), lambda h, q, pp: (h, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, lq, hd), jnp.float32),
+        interpret=interpret,
+    )
+    return f(patch, w4t, e, r)

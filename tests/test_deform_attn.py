@@ -127,3 +127,55 @@ def test_packed_slices_reduce_equals_einsum():
     a = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="einsum")
     c = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="slices")
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
+
+
+def test_packed_pallas_reduce_equals_einsum():
+    """The Pallas combine kernel must match the train 'einsum' reduce.
+
+    Lq=128 exercises the real kernel path (lane-aligned); the interpret
+    mode runs it off-TPU.
+    """
+    from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core_packed
+
+    rng = np.random.default_rng(12)
+    b, heads, hd, lq, p = 2, 4, 8, 128, 6
+    shapes = [(16, 24)]
+    len_in = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, len_in, heads, hd)), jnp.float32
+    )
+    locs = jnp.asarray(
+        rng.uniform(-0.3, 1.3, (b, lq, heads, len(shapes), p, 2)),
+        jnp.float32,
+    )
+    w = jax.nn.softmax(
+        jnp.asarray(
+            rng.standard_normal((b, lq, heads, len(shapes) * p)), jnp.float32
+        ),
+        axis=-1,
+    ).reshape(b, lq, heads, len(shapes), p)
+    a = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="einsum")
+    c = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_packed_pallas_reduce_falls_back_when_unaligned():
+    """Lq not a multiple of 128 silently uses the 'slices' path."""
+    from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core_packed
+
+    rng = np.random.default_rng(13)
+    b, heads, hd, lq, p = 1, 2, 8, 60, 4
+    shapes = [(8, 8)]
+    value = jnp.asarray(
+        rng.standard_normal((b, 64, heads, hd)), jnp.float32
+    )
+    locs = jnp.asarray(
+        rng.uniform(0.0, 1.0, (b, lq, heads, 1, p, 2)), jnp.float32
+    )
+    w = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((b, lq, heads, p)), jnp.float32),
+        axis=-1,
+    ).reshape(b, lq, heads, 1, p)
+    a = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="einsum")
+    c = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
