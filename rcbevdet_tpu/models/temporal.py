@@ -30,7 +30,8 @@ def _embed4(bda):
 
 
 def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
-              grid_lower_bound, grid_interval, bda_adj=None):
+              grid_lower_bound, grid_interval, bda_adj=None,
+              fast_inference=False):
     """Warp adjacent-frame BEV features into the key frame.
 
     Args:
@@ -83,7 +84,9 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     gy = warped[..., 1] / (h - 1.0) * 2.0 - 1.0
     g = jnp.stack([gx, gy], -1)  # [B, H, W, 2]
     warp = jax.checkpoint(
-        lambda f, gg: grid_sample_2d_packed(f, gg, align_corners=True)
+        lambda f, gg: grid_sample_2d_packed(
+            f, gg, align_corners=True, pallas_combine=fast_inference
+        )
     )
     out = warp(feat, g)
     return out.astype(feat.dtype)

@@ -510,5 +510,6 @@ def precompute_lss_pool_meta(
     ).reshape(-1)
     return precompute_pool_meta(
         np.asarray(ranks).reshape(-1), rf, nx * ny * nz,
+        depth_bins=num_d, hw=hf * wf,
         cells_per_tile=cells_per_tile, chunk=chunk,
     )

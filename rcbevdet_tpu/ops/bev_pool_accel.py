@@ -43,19 +43,23 @@ class PoolMeta:
                 BEV rank and tile-padded; padding slots hold ``p_total``
                 (a sentinel row whose depth is zero-padded on device).
     rf_perm:    [P'] int32 — feature row per slot (0 for padding).
+    d_perm:     [P'] int32 — depth-bin per slot (``depth_bins``, i.e. the
+                zero sentinel column, for padding slots).
     local_cell: [n_chunks, chunk] int32 — cell index within the tile.
     chunk_tile: [n_chunks] int32 — tile id per chunk, nondecreasing.
     """
 
     perm: Any
     rf_perm: Any
+    d_perm: Any
     local_cell: Any
     chunk_tile: Any
     num_cells: int = dataclasses.field(default=0)
     cells_per_tile: int = dataclasses.field(default=128)
 
     def tree_flatten(self):
-        leaves = (self.perm, self.rf_perm, self.local_cell, self.chunk_tile)
+        leaves = (self.perm, self.rf_perm, self.d_perm, self.local_cell,
+                  self.chunk_tile)
         return leaves, (self.num_cells, self.cells_per_tile)
 
     @classmethod
@@ -64,7 +68,7 @@ class PoolMeta:
 
 
 def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
-                         cells_per_tile=128, chunk=1024):
+                         depth_bins, hw, cells_per_tile=128, chunk=1024):
     """Build :class:`PoolMeta` from one sample's flat rank tables (host).
 
     Args:
@@ -75,6 +79,8 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
         accelerate path fixes the geometry).
       ranks_feat_flat: [P] int array, feature row per frustum point.
       num_cells: static int, nx*ny*nz; must divide by cells_per_tile.
+      depth_bins, hw: static frustum shape (P = N * depth_bins * hw, flat
+        index order (n, d, hw)) — used to derive the per-slot depth bin.
     """
     assert num_cells % cells_per_tile == 0
     assert chunk % 8 == 0, "chunk must be sublane-aligned"
@@ -106,10 +112,15 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
         cell_chunks.append(cell_t)
         chunk_tiles.extend([t] * n_ch)
 
-    perm = np.concatenate(perm_chunks).astype(np.int32)
+    perm64 = np.concatenate(perm_chunks)
+    perm = perm64.astype(np.int32)
+    d_perm = np.where(
+        perm64 < p_total, (perm64 // hw) % depth_bins, depth_bins
+    ).astype(np.int32)
     return PoolMeta(
         perm=jnp.asarray(perm),
         rf_perm=jnp.asarray(np.concatenate(rf_chunks).astype(np.int32)),
+        d_perm=jnp.asarray(d_perm),
         # [n_chunks, 8, chunk//8]: Mosaic requires the last two block dims
         # tileable (8, 128) — a (1, chunk) block is rejected
         local_cell=jnp.asarray(
@@ -199,13 +210,37 @@ def bev_pool_accel(depth_ndhw, feat, meta: PoolMeta, interpret=None):
     """
     if interpret is None:  # run interpreted off-TPU (CPU tests / CLI)
         interpret = jax.default_backend() != "tpu"
+    n, d, hf, wf = depth_ndhw.shape
+    hw = hf * wf
     c = feat.shape[-1]
-    depth_flat = depth_ndhw.reshape(-1).astype(feat.dtype)
-    depth_pad = jnp.concatenate(
-        [depth_flat, jnp.zeros((1,), depth_flat.dtype)]
+    # A flat depth gather is a single-lane gather: serialization-bound at
+    # ~8 ns/index on v5e (1.2 ms for 147k slots).  Instead append each
+    # pixel's D depth bins (plus one zero sentinel column) to its feature
+    # row and fetch everything with ONE wide row-gather indexed by
+    # rf_perm; the per-slot bin is then picked with an iota-compare
+    # reduction (pure VPU, fuses with the multiply).
+    depth_byrow = jnp.moveaxis(
+        depth_ndhw.reshape(n, d, hw), 1, 2
+    ).reshape(n * hw, d).astype(feat.dtype)
+    table = jnp.concatenate(
+        [
+            feat.reshape(n * hw, c),
+            depth_byrow,
+            jnp.zeros((n * hw, 1), feat.dtype),  # sentinel bin (padding)
+        ],
+        axis=-1,
     )
-    feat_flat = feat.reshape(-1, c)
-    vals = feat_flat[meta.rf_perm] * depth_pad[meta.perm][:, None]
+    rows = table[meta.rf_perm]  # [S, C + D + 1]
+    dsel = jnp.sum(
+        rows[:, c:]
+        * (
+            jax.lax.broadcasted_iota(jnp.int32, (1, d + 1), 1)
+            == meta.d_perm[:, None]
+        ).astype(feat.dtype),
+        axis=-1,
+        keepdims=True,
+    )
+    vals = rows[:, :c] * dsel
     out = _splat(
         vals, meta.local_cell, meta.chunk_tile,
         meta.num_cells, meta.cells_per_tile, interpret=interpret,

@@ -106,7 +106,8 @@ def nearest_resize(x, out_h, out_w):
     return jnp.einsum("pw,...owc->...opc", mx, rows)
 
 
-def grid_sample_2d_packed(imgs, grid, align_corners=True):
+def grid_sample_2d_packed(imgs, grid, align_corners=True,
+                          pallas_combine=False):
     """Batched bilinear grid sample via ONE packed-corner row gather.
 
     Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
@@ -134,7 +135,17 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True):
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
     patch, slot_w = packed_bilinear_parts(imgs, fx, fy, h, w)
-    out = sum(
-        patch[..., si * c : (si + 1) * c] * slot_w[si] for si in range(4)
-    )
+    if pallas_combine and fx.shape[1] % 128 == 0:
+        # forward-only fast path (no VJP): MXU slot combine instead of the
+        # VPU-bound lane-broadcast fusion (ops/deform_attn_pallas.py)
+        from .deform_attn_pallas import combine4_p_reduce
+
+        w4t = jnp.stack(
+            [slot_w[si][..., 0] for si in range(4)], axis=1
+        )
+        out = combine4_p_reduce(patch, w4t, p=1, hd=c).astype(imgs.dtype)
+    else:
+        out = sum(
+            patch[..., si * c : (si + 1) * c] * slot_w[si] for si in range(4)
+        )
     return out.reshape((n,) + lead + (c,))

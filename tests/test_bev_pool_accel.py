@@ -35,7 +35,8 @@ def test_accel_matches_dense_oracle():
         jnp.asarray(ranks).reshape(depth.shape), num_cells,
     )
     meta = precompute_pool_meta(
-        ranks, rf, num_cells, cells_per_tile=32, chunk=16
+        ranks, rf, num_cells, depth_bins=depth.shape[1],
+        hw=depth.shape[2] * depth.shape[3], cells_per_tile=32, chunk=16
     )
     out = bev_pool_accel(
         jnp.asarray(depth), jnp.asarray(feat), meta, interpret=True
@@ -55,7 +56,8 @@ def test_accel_empty_tiles_are_zero():
         (ranks >= 32) & (ranks < 64), num_cells, ranks
     ).astype(np.int32)
     meta = precompute_pool_meta(
-        ranks, rf, num_cells, cells_per_tile=32, chunk=16
+        ranks, rf, num_cells, depth_bins=depth.shape[1],
+        hw=depth.shape[2] * depth.shape[3], cells_per_tile=32, chunk=16
     )
     out = np.asarray(bev_pool_accel(
         jnp.asarray(depth), jnp.asarray(feat), meta, interpret=True

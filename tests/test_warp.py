@@ -6,7 +6,8 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-from rcbevdet_tpu.ops.warp import bilinear_resize, grid_sample_2d, nearest_resize
+from rcbevdet_tpu.ops.warp import (
+    bilinear_resize, grid_sample_2d, grid_sample_2d_packed, nearest_resize)
 
 
 def test_grid_sample_align_true_matches_torch(rng):
@@ -74,3 +75,16 @@ def test_grid_sample_2d_packed_matches_unpacked():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-6
         )
+
+
+def test_packed_pallas_combine_matches_default():
+    """grid_sample_2d_packed(pallas_combine=True) == default combine
+    (interpret-mode kernel off-TPU); exercises the temporal-warp fast path."""
+    rng = np.random.default_rng(7)
+    n, h, w, c = 3, 16, 16, 8
+    imgs = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (n, 128, 2)), jnp.float32)
+    a = grid_sample_2d_packed(imgs, grid, align_corners=True)
+    b = grid_sample_2d_packed(imgs, grid, align_corners=True,
+                              pallas_combine=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
