@@ -140,6 +140,31 @@ def _maxpool3(x):
     )
 
 
+def compute_rcs_seeds(centers_xy, radius, rcs_value, pillar_mask, ny, nx,
+                      r_max=16):
+    """Scatter per-pillar (radius class, RCS value) seeds onto the canvas.
+
+    Returns (seed_r [ny, nx] int32, -1 where empty;
+             seed_v [ny, nx] f32, -inf where empty).
+    Shared by the XLA propagation (:func:`render_rcs_maps`) and the Pallas
+    renderer (ops/rcs_render.py).
+    """
+    r_int = jnp.clip(jnp.floor(radius), 0, r_max).astype(jnp.int32)  # [P]
+    xs, ys = centers_xy[:, 0], centers_xy[:, 1]
+    inb = pillar_mask & (xs >= 0) & (xs < nx) & (ys >= 0) & (ys < ny)
+    flat = jnp.where(inb, ys * nx + xs, ny * nx).astype(jnp.int32)
+
+    seed_r = (
+        jnp.full((ny * nx + 1,), -1, jnp.int32)
+        .at[flat].max(jnp.where(inb, r_int, -1), mode="drop")
+    )[: ny * nx].reshape(ny, nx)
+    seed_v = (
+        jnp.full((ny * nx + 1,), -jnp.inf, jnp.float32)
+        .at[flat].max(jnp.where(inb, rcs_value, -jnp.inf), mode="drop")
+    )[: ny * nx].reshape(ny, nx)
+    return seed_r, seed_v
+
+
 def render_rcs_maps(centers_xy, radius, rcs_value, pillar_mask, ny, nx,
                     r_max=16):
     """Render the RCS scatter's [heatmap, rcs-feat] channels for one sample
@@ -163,20 +188,9 @@ def render_rcs_maps(centers_xy, radius, rcs_value, pillar_mask, ny, nx,
     Voxelized pillar centers are unique per canvas cell, so the parameter
     scatter needs no collision handling (padding goes to a trash cell).
     """
-    p = centers_xy.shape[0]
-    r_int = jnp.clip(jnp.floor(radius), 0, r_max).astype(jnp.int32)  # [P]
-    xs, ys = centers_xy[:, 0], centers_xy[:, 1]
-    inb = pillar_mask & (xs >= 0) & (xs < nx) & (ys >= 0) & (ys < ny)
-    flat = jnp.where(inb, ys * nx + xs, ny * nx).astype(jnp.int32)
-
-    seed_r = (
-        jnp.full((ny * nx + 1,), -1, jnp.int32)
-        .at[flat].max(jnp.where(inb, r_int, -1), mode="drop")
-    )[: ny * nx].reshape(ny, nx)
-    seed_v = (
-        jnp.full((ny * nx + 1,), -jnp.inf, jnp.float32)
-        .at[flat].max(jnp.where(inb, rcs_value, -jnp.inf), mode="drop")
-    )[: ny * nx].reshape(ny, nx)
+    seed_r, seed_v = compute_rcs_seeds(
+        centers_xy, radius, rcs_value, pillar_mask, ny, nx, r_max
+    )
 
     # --- rcs feat: Chebyshev dilation with staged seed injection ---
     neg = jnp.float32(-jnp.inf)

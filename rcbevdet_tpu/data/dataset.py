@@ -42,6 +42,7 @@ class NuScenesRCDataset:
         classes: Sequence[str] = CLASSES,
         is_train: bool = True,
         multi_adj_frame_ids: Sequence[int] = tuple(range(1, 9)),
+        multi_adj_frame_ids_longterm: Optional[Sequence[int]] = None,
         radar_sweeps: int = 8,
         radar_max_num: int = 1200,
         point_cloud_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
@@ -51,6 +52,10 @@ class NuScenesRCDataset:
         out_size_factor: int = 8,
         max_objs: int = 500,
         with_depth_gt: bool = True,
+        seg_classes: Optional[Sequence[str]] = None,
+        seg_xbound=(-50.0, 50.0, 0.5),
+        seg_ybound=(-50.0, 50.0, 0.5),
+        map_mask_fn=None,
         with_hop_targets: bool = False,
         hop_aux_task_groups=None,
         stereo: bool = False,
@@ -65,6 +70,15 @@ class NuScenesRCDataset:
         self.classes = list(classes)
         self.is_train = is_train
         self.adj_ids = list(multi_adj_frame_ids)
+        # optional second, longer-stride history window (reference
+        # get_adj_info_lt + PrepareImageInputsLongterm,
+        # nuscenes_dataset_rc.py:318-327, pipelines/loading.py:1917; the
+        # reference loads it as a separate pipeline step with its own
+        # augmentation draw — data-side only, no shipped model consumes it)
+        self.adj_ids_lt = (
+            list(multi_adj_frame_ids_longterm)
+            if multi_adj_frame_ids_longterm else None
+        )
         self.stereo = stereo
         if stereo and self.adj_ids:
             # one extra reference frame for the temporal-stereo cost volume
@@ -82,6 +96,10 @@ class NuScenesRCDataset:
         self.out_size_factor = out_size_factor
         self.max_objs = max_objs
         self.with_depth_gt = with_depth_gt
+        self.seg_classes = list(seg_classes) if seg_classes else None
+        self.seg_xbound = seg_xbound
+        self.seg_ybound = seg_ybound
+        self.map_mask_fn = map_mask_fn
         self.with_hop_targets = with_hop_targets
         self.hop_aux_task_groups = (
             tuple(map(tuple, hop_aux_task_groups))
@@ -114,11 +132,12 @@ class NuScenesRCDataset:
     def _load_lidar_bin(path):
         return np.fromfile(path, np.float32).reshape(-1, 5)
 
-    def get_adj_infos(self, info, index):
+    def get_adj_infos(self, info, index, adj_ids=None):
         """Adjacent-frame infos, clamped to scene boundaries
-        (reference nuscenes_dataset_rc.py:329-343)."""
+        (reference nuscenes_dataset_rc.py:329-343; with ``adj_ids`` the
+        long-term id list, the get_adj_info_lt variant :318-327)."""
         out = []
-        for select_id in self.adj_ids:
+        for select_id in (self.adj_ids if adj_ids is None else adj_ids):
             sid = min(max(index - select_id, 0), len(self.data_infos) - 1)
             cand = self.data_infos[sid]
             out.append(cand if cand["scene_token"] == info["scene_token"] else info)
@@ -147,6 +166,18 @@ class NuScenesRCDataset:
             info, adj_infos, self.img_config, self.is_train, self.rng,
             image_loader=self.image_loader,
         )
+        if self.adj_ids_lt:
+            # independent augmentation draw, like the reference's separate
+            # PrepareImageInputsLongterm pipeline step; frame 0 (the key
+            # frame) is dropped — only the history window is kept
+            lt_infos = self.get_adj_infos(info, index, adj_ids=self.adj_ids_lt)
+            lt = prepare_image_inputs(
+                info, lt_infos, self.img_config, self.is_train, self.rng,
+                image_loader=self.image_loader,
+            )
+            for k in ("imgs", "sensor2keyegos", "intrins", "post_rots",
+                      "post_trans"):
+                sample[k + "_lt"] = lt[k][1:]
         if self.stereo:
             # current-sensor -> next-older-sensor chains, float64 on host
             # (reference prepare_inputs stereo branch, bevdet_rc.py:711-728)
@@ -200,6 +231,20 @@ class NuScenesRCDataset:
         padded_labels[:n] = gt_labels[:n]
         sample["gt_boxes"] = padded_boxes
         sample["gt_labels"] = padded_labels
+
+        if self.seg_classes:
+            # [H, W, C] rasterized masks (reference LoadBEVSegmentation,
+            # pipelines/loading.py:2494-2622); vehicle from post-BDA boxes
+            from .seg_targets import build_seg_masks
+
+            sample["gt_masks_bev"] = build_seg_masks(
+                self.seg_classes, gt_boxes, gt_labels, self.classes,
+                self.seg_xbound, self.seg_ybound,
+                location=info.get("location"),
+                ego2global=info.get("ego2global"),
+                map_mask_fn=self.map_mask_fn,
+                flip_dx=flip_dx, flip_dy=flip_dy, scale=scale,
+            )
 
         # ---- HoP auxiliary targets: frame t-1 GT under the same BDA ----
         # (reference builds img_meta['adj_gt_3d'] for the history decoder's

@@ -104,6 +104,14 @@ class RCBEVDetConfig:
     # bevdet.py:1012 / BEVStereo4D_RC, bevdet_rc.py:865); requires one extra
     # reference frame in the inputs and k2s_sensor transforms.
     stereo: bool = False
+    # auxiliary BEV semantic segmentation head on the fused feature
+    # (reference pts_seg_head, bevdet_rc.py:473-474 + vanilla_seg.py);
+    # trained when the batch carries 'gt_masks_bev'
+    with_seg: bool = False
+    seg_classes: Tuple[str, ...] = ("vehicle",)
+    # ((x lo, hi, step), (y lo, hi, step)) det-grid -> seg-grid resample;
+    # None = seg head runs on the det grid directly
+    seg_grid_transform: Any = None
 
     @property
     def num_frames(self):
@@ -306,6 +314,14 @@ class RCBEVDet(nn.Module):
                     in_channels=c.imc, num_classes=c.num_classes,
                     name="aux_bbox_head",
                 )
+        if c.with_seg:
+            from .seg_head import BEVSegHead
+
+            self.seg_head = BEVSegHead(
+                classes=tuple(c.seg_classes),
+                grid_transform=c.seg_grid_transform,
+                name="pts_seg_head",
+            )
 
     def _stereo_cost_volumes(self, imgs, k2s_sensor, intrins, post_rots,
                              post_trans, train):
@@ -543,16 +559,20 @@ class RCBEVDet(nn.Module):
         else:
             fused = img_bev
         preds = self.head(fused, train=train)
+        extras = []
         if self.cfg.with_hop and frames.shape[1] > 2 and (
             train or self.is_initializing()
         ):
             # reconstruct frame t-1 from [t, t-2, ...] (bevdet.py:1396)
             wo_tm1 = jnp.concatenate([frames[:, :1], frames[:, 2:]], axis=1)
             recon = self.history_decoder(wo_tm1)
-            aux_preds = self.aux_bbox_head(recon, train=train)
-            if return_feats:
-                return preds, depth, aux_preds, fused
-            return preds, depth, aux_preds
+            extras.append(self.aux_bbox_head(recon, train=train))
+        if self.cfg.with_seg and (train or self.is_initializing()):
+            # aux BEV-seg head on the fused feature (the reference's
+            # pts_seg_head tap, bevdet_rc.py:473-474)
+            extras.append(self.seg_head(fused, train=train))
         if return_feats:
-            return preds, depth, fused
+            extras.append(fused)
+        if extras:
+            return (preds, depth, *extras)
         return preds, depth

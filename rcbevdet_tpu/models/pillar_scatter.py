@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.gaussian import render_rcs_maps
 from .layers import BatchNorm
 
 
@@ -58,15 +57,18 @@ class PointPillarsScatterRCS(nn.Module):
         true_rcs = nn.relu(rcs[..., -2] * r2)
         radius = true_rcs + 1.0
         centers = jnp.stack([coors[..., 2], coors[..., 1]], axis=-1)  # (x, y)
-        # remat: the shift/reduce renderer's ~600-op chain would otherwise
-        # store a [ny, nx] residual per shift for the backward pass (~9 GB
-        # at train shapes); recomputing it is nearly free next to the convs
-        render = jax.checkpoint(
-            lambda c_, r_, v_, m_: jax.vmap(
-                render_rcs_maps, in_axes=(0, 0, 0, 0, None, None, None)
-            )(c_, r_, v_, m_, ny, nx, self.r_max)
-        )
-        heat, feat = render(centers, radius, rcs[..., -2], pillar_mask)
+        # the RCS maps are parameter-free functions of the raw radar
+        # points (no grad path), so the whole ~650-op shift/reduce chain
+        # runs as ONE Pallas kernel with the canvas VMEM-resident in both
+        # training and inference (ops/rcs_render.py; the XLA chain in
+        # core/gaussian.py stays as the oracle)
+        from ..core.gaussian import compute_rcs_seeds
+        from ..ops.rcs_render import render_rcs_maps_pallas
+
+        seed_r, seed_v = jax.vmap(
+            compute_rcs_seeds, in_axes=(0, 0, 0, 0, None, None, None)
+        )(centers, radius, rcs[..., -2], pillar_mask, ny, nx, self.r_max)
+        heat, feat = render_rcs_maps_pallas(seed_r, seed_v, self.r_max)
 
         # the RCS maps render in f32 (exp/EDT math); cast at this boundary
         # or the concat below upcasts the whole radar canvas and everything

@@ -24,7 +24,14 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config")
-    p.add_argument("--mode", choices=["sequential", "full"], default="sequential")
+    p.add_argument(
+        "--mode", choices=["sequential", "full", "train"],
+        default="sequential",
+        help="train: full train-step throughput with synthetic targets "
+             "(counterpart of the reference's per-iter time log, "
+             "mmcv runner log_buffer 'time')",
+    )
+    p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--flops", action="store_true", help="print XLA cost analysis")
@@ -61,10 +68,47 @@ def main(argv=None):
         cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
     model, mcfg = build_model(cfg)
     rng = np.random.default_rng(0)
-    full = _example_batch(mcfg, b=1, rng=rng)
-    variables = model.init(jax.random.PRNGKey(0), full, train=False)
+    full = _example_batch(mcfg, b=args.batch_size, rng=rng)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(lambda x: x[:1], full), train=False,
+    )
 
-    if args.mode == "full":
+    if args.mode == "train":
+        from ..training.train_step import (
+            create_train_state, make_optimizer, make_train_step,
+        )
+
+        b = args.batch_size
+        hf, wf = mcfg.input_size
+        ny = nx = mcfg.bev_size
+        full["heatmap_t"] = (
+            jnp.zeros((b, mcfg.num_classes, ny, nx)).at[:, 0, ny // 2,
+                                                        nx // 2].set(1.0)
+        )
+        full["anno_box_t"] = jnp.zeros((b, 100, 10))
+        full["inds_t"] = jnp.zeros((b, 100), jnp.int32)
+        full["mask_t"] = jnp.zeros((b, 100)).at[:, 0].set(1.0)
+        full["gt_depth"] = (
+            jnp.zeros((b, 6, hf, wf)).at[:, :, ::7, ::11].set(3.0)
+        )
+        tx = make_optimizer(
+            total_steps=1000, freeze_img=mcfg.freeze_img,
+            params=variables["params"],
+        )
+        state = create_train_state(model, variables, tx)
+        step = jax.jit(
+            make_train_step(model, tx, mcfg),
+            compiler_options=tpu_compiler_options(),
+        )
+        holder = {"state": state}
+
+        def fn():
+            new_state, metrics = step(holder["state"], full)
+            holder["state"] = new_state
+            return metrics["loss"]
+
+    elif args.mode == "full":
         @functools.partial(
             jax.jit, compiler_options=tpu_compiler_options()
         )
@@ -124,7 +168,13 @@ def main(argv=None):
         ms_per_frame=round(1000 * dt / args.iters, 3),
         backend=jax.default_backend(),
     )
-    if args.flops:
+    if args.mode == "train":
+        result["samples_per_s"] = round(
+            args.iters * args.batch_size / dt, 2
+        )
+        result["ms_per_step"] = result.pop("ms_per_frame")
+        result["batch_size"] = args.batch_size
+    if args.flops and args.mode != "train":
         if args.mode == "full":
             cost = flops_of(
                 lambda v, b: model.apply(v, b, train=False), variables, full

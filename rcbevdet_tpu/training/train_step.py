@@ -237,6 +237,14 @@ def make_train_step(
                     batch["aux_mask_t"], cls_weight=0.5, bbox_weight=0.125,
                 )
                 losses.update({f"aux_{k}": v for k, v in aux.items()})
+        if getattr(cfg, "with_seg", False) and "gt_masks_bev" in batch:
+            # seg logits are appended last by RCBEVDet.__call__ when
+            # cfg.with_seg (reference pts_seg_head loss, bevdet_rc.py:473)
+            from ..models.seg_head import seg_loss as _seg_loss
+
+            losses["loss_seg"] = _seg_loss(
+                outputs[-1], batch["gt_masks_bev"], loss_type="focal"
+            )
         total = sum(losses.values())
         return total, (losses, updates["batch_stats"])
 

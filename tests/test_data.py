@@ -118,3 +118,28 @@ def test_collate_and_cbgs():
     idxs = cbgs_indices(ds)
     assert len(idxs) > 0
     assert all(0 <= i < len(ds) for i in idxs)
+
+
+def test_longterm_adjacent_window(rng):
+    """multi_adj_frame_ids_longterm adds a second history window
+    (reference get_adj_info_lt + PrepareImageInputsLongterm,
+    nuscenes_dataset_rc.py:318-327) with its own *_lt batch keys."""
+    from rcbevdet_tpu.data.image_pipeline import ImageAugConfig
+    from rcbevdet_tpu.data.synthetic import synthetic_sample
+
+    cfg = ImageAugConfig(input_size=(64, 176))
+    sample, ds = synthetic_sample(
+        rng, img_config=cfg, num_adj=2, num_samples=12,
+        multi_adj_frame_ids_longterm=(4, 8),
+    )
+    n_cams = len(cfg.cams)
+    assert sample["imgs_lt"].shape == (2, n_cams, 64, 176, 3)
+    assert sample["sensor2keyegos_lt"].shape == (2, n_cams, 4, 4)
+    assert sample["post_trans_lt"].shape == (2, n_cams, 3)
+    # short window untouched: key + 2 adjacent frames
+    assert sample["imgs"].shape[0] == 3
+    # collation keeps the _lt keys
+    from rcbevdet_tpu.data.dataset import collate_samples
+
+    batch = collate_samples([sample, sample])
+    assert batch["imgs_lt"].shape[0] == 2
