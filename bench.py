@@ -59,42 +59,11 @@ def _peak_flops(device) -> float:
 
 
 def _traced_device_ms_per_step(run_n_steps, n) -> float:
-    """True per-step device time: run ``run_n_steps(n)`` under the JAX
-    profiler and sum the device-op durations from the trace.
+    """True per-step device time via profiler-trace op sums (the only
+    reliable timing on this tunneled-TPU harness — module docstring)."""
+    from rcbevdet_tpu.utils.profiling import traced_device_ms_per_step
 
-    This is the only reliable timing on the tunneled-TPU harness (module
-    docstring); it also matches locally-attached hardware semantics.
-    """
-    import glob
-    import gzip
-    import tempfile
-
-    import jax
-
-    tdir = tempfile.mkdtemp(prefix="bench_trace_")
-    with jax.profiler.trace(tdir):
-        run_n_steps(n)
-    files = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))
-    if not files:
-        return float("nan")
-    with gzip.open(files[-1]) as fh:
-        d = json.load(fh)
-    ev = d.get("traceEvents", [])
-    pids = {
-        e["pid"]: e["args"].get("name", "")
-        for e in ev
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    devpids = {p for p, name in pids.items() if "TPU" in name}
-    total_us = 0.0
-    for e in ev:
-        if (
-            e.get("ph") == "X"
-            and e.get("pid") in devpids
-            and not e.get("name", "").startswith("jit_")
-        ):
-            total_us += e.get("dur", 0)
-    return total_us / n / 1e3
+    return traced_device_ms_per_step(run_n_steps, n)
 
 
 def main():

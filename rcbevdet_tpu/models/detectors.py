@@ -515,7 +515,7 @@ class RCBEVDet(nn.Module):
         shifted = shift_bev(
             prev_flat, s2k_rep, prev_s2k, bda_rep,
             (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
-            fast_inference=False,
+            fast_inference=True,
         )
         shifted = shifted.reshape(b, f1, ny, nx, ch)
         shifted = jnp.moveaxis(shifted, 1, 3).reshape(b, ny, nx, f1 * ch)

@@ -42,13 +42,20 @@ def _pack_corners(value_bhwc):
     return jnp.concatenate([row0, yp1], axis=-1)  # [N,H,W,4hd]
 
 
-def packed_bilinear_parts(value_bhwc, fx, fy, h, w):
+def packed_bilinear_parts(value_bhwc, fx, fy, h, w,
+                          split_batch_gather=False):
     """Shared core of the packed-corner bilinear sample.
 
     value_bhwc: [N, H, W, hd]; fx/fy: [N, S] continuous pixel coords.
     Returns (patch [N, S, 4*hd], slot_w list of 4 [N, S, 1]) such that
     bilinear(value, fx, fy) = sum_s patch[..., s*hd:(s+1)*hd] * slot_w[s]
     with zero-padding semantics outside the image.
+
+    ``split_batch_gather`` issues one gather per batch row instead of one
+    flat gather over the [N*H*W] table: when the per-row table fits the
+    scoped-VMEM budget but the full table does not (the temporal warp's
+    8-frame 84 MB packed table), per-row gathers keep each table on the
+    fast VMEM-resident path — measured 2x on the warp.
     """
     n, s = fx.shape
     hd = value_bhwc.shape[-1]
@@ -62,20 +69,35 @@ def packed_bilinear_parts(value_bhwc, fx, fy, h, w):
     xc = jnp.clip(x0i, 0, w - 1)
     yc = jnp.clip(y0i, 0, h - 1)
 
-    # single flattened row index: a 1-component gather from a 2-D table is
-    # ~2x faster than the 3-component rank-4 form on v5e
-    nidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
-    flat = ((nidx * h + yc) * w + xc).reshape(n * s, 1)
-    patch = jax.lax.gather(
-        packed.reshape(n * h * w, 4 * hd), flat,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,),
-            collapsed_slice_dims=(0,),
-            start_index_map=(0,),
-        ),
-        slice_sizes=(1, 4 * hd),
-        mode="promise_in_bounds",
-    ).reshape(n, s, 4 * hd)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0,),
+    )
+    if split_batch_gather:
+        flat_n = yc * w + xc  # [N, S] row within each batch entry's table
+        packed_flat = packed.reshape(n, h * w, 4 * hd)
+        patch = jnp.stack(
+            [
+                jax.lax.gather(
+                    packed_flat[i], flat_n[i][:, None], dnums,
+                    slice_sizes=(1, 4 * hd), mode="promise_in_bounds",
+                )
+                for i in range(n)
+            ]
+        )  # [N, S, 4hd]
+    else:
+        # single flattened row index: a 1-component gather from a 2-D
+        # table is ~2x faster than the 3-component rank-4 form on v5e
+        nidx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, s)
+        )
+        flat = ((nidx * h + yc) * w + xc).reshape(n * s, 1)
+        patch = jax.lax.gather(
+            packed.reshape(n * h * w, 4 * hd), flat, dnums,
+            slice_sizes=(1, 4 * hd),
+            mode="promise_in_bounds",
+        ).reshape(n, s, 4 * hd)
 
     # Fold the corner->packed-slot remap into the (scalar) weights instead
     # of selecting on [N, S, hd] tensors: a [N,S,4,hd] reshape + per-corner

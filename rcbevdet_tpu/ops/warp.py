@@ -107,7 +107,8 @@ def nearest_resize(x, out_h, out_w):
 
 
 def grid_sample_2d_packed(imgs, grid, align_corners=True,
-                          pallas_combine=False):
+                          pallas_combine=False,
+                          split_batch_gather=False):
     """Batched bilinear grid sample via ONE packed-corner row gather.
 
     Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
@@ -134,7 +135,9 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
     else:
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
-    patch, slot_w = packed_bilinear_parts(imgs, fx, fy, h, w)
+    patch, slot_w = packed_bilinear_parts(
+        imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
+    )
     if pallas_combine and fx.shape[1] % 128 == 0:
         # forward-only fast path (no VJP): MXU slot combine instead of the
         # VPU-bound lane-broadcast fusion (ops/deform_attn_pallas.py)

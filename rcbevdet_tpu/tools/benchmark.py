@@ -157,16 +157,33 @@ def main(argv=None):
     for _ in range(args.warmup):
         out = fn()
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    if jax.default_backend() == "tpu":
+        # wall-clock loops lie on tunneled-TPU harnesses; use profiler
+        # trace op sums (bench.py docstring)
+        from ..utils.profiling import traced_device_ms_per_step
+
+        def run_n(n):
+            o = None
+            for _ in range(n):
+                o = fn()
+            jax.block_until_ready(o)
+
+        ms = traced_device_ms_per_step(run_n, args.iters)
+        dt = ms * args.iters / 1000.0
+        timing = "device_trace"
+    else:
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        timing = "wallclock"
     result = dict(
         mode=args.mode,
         fps=round(args.iters / dt, 2),
         ms_per_frame=round(1000 * dt / args.iters, 3),
         backend=jax.default_backend(),
+        timing=timing,
     )
     if args.mode == "train":
         result["samples_per_s"] = round(

@@ -58,3 +58,44 @@ def timeit(fn: Callable, *args, iters=20, warmup=3):
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def traced_device_ms_per_step(run_n_steps, n) -> float:
+    """True per-step device time: run ``run_n_steps(n)`` under the JAX
+    profiler and sum device-op durations from the trace.
+
+    Wall-clock loops lie on tunneled-TPU harnesses (``block_until_ready``
+    can return at enqueue-ack); trace op sums are the reliable timing and
+    match locally-attached hardware semantics (see bench.py docstring).
+    """
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    import jax
+
+    tdir = tempfile.mkdtemp(prefix="bench_trace_")
+    with jax.profiler.trace(tdir):
+        run_n_steps(n)
+    files = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        return float("nan")
+    with gzip.open(files[-1]) as fh:
+        d = json.load(fh)
+    ev = d.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    devpids = {p for p, name in pids.items() if "TPU" in name}
+    total_us = 0.0
+    for e in ev:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in devpids
+            and not e.get("name", "").startswith("jit_")
+        ):
+            total_us += e.get("dur", 0)
+    return total_us / n / 1e3

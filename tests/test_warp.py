@@ -88,3 +88,15 @@ def test_packed_pallas_combine_matches_default():
     b = grid_sample_2d_packed(imgs, grid, align_corners=True,
                               pallas_combine=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_split_batch_gather_matches_default():
+    """split_batch_gather (per-frame VMEM-resident tables) is exact."""
+    rng = np.random.default_rng(9)
+    n, h, w, c = 4, 12, 12, 8
+    imgs = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (n, 50, 2)), jnp.float32)
+    a = grid_sample_2d_packed(imgs, grid, align_corners=True)
+    b = grid_sample_2d_packed(imgs, grid, align_corners=True,
+                              split_batch_gather=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
