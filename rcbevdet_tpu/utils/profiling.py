@@ -90,12 +90,22 @@ def traced_device_ms_per_step(run_n_steps, n) -> float:
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
     devpids = {p for p, name in pids.items() if "TPU" in name}
+    # the profiler's "Steps" lane emits one numeric-named marker spanning
+    # each whole invocation — summing those double-counts every op
+    step_tids = {
+        (e["pid"], e["tid"])
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and "step" in str(e["args"].get("name", "")).lower()
+    }
     total_us = 0.0
     for e in ev:
         if (
             e.get("ph") == "X"
             and e.get("pid") in devpids
+            and (e.get("pid"), e.get("tid")) not in step_tids
             and not e.get("name", "").startswith("jit_")
+            and not e.get("name", "").isdigit()
         ):
             total_us += e.get("dur", 0)
     return total_us / n / 1e3
