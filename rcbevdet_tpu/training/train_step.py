@@ -249,10 +249,44 @@ def make_train_step(
         return total, (losses, updates["batch_stats"])
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (losses, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch
-        )
+        if getattr(cfg, "freeze_img", False):
+            # differentiate ONLY the trainable subtree: requesting grads
+            # for frozen params forces XLA to build the whole camera-branch
+            # backward (then optax zeroes it) — treating them as constants
+            # lets it be DCE'd, the analog of the reference's
+            # requires_grad=False (bevdet_rc.py:551-568)
+            flat = flax.traverse_util.flatten_dict(state.params)
+            train_flat = {
+                k: v for k, v in flat.items()
+                if not any(k[0] == p for p in FROZEN_CAMERA_PREFIXES)
+            }
+            frozen_flat = {
+                k: v for k, v in flat.items() if k not in train_flat
+            }
+
+            def loss_fn_split(tf, batch_stats, batch):
+                params = flax.traverse_util.unflatten_dict(
+                    {**tf, **frozen_flat}
+                )
+                return loss_fn(params, batch_stats, batch)
+
+            grad_fn = jax.value_and_grad(loss_fn_split, has_aux=True)
+            (total, (losses, new_stats)), g_train = grad_fn(
+                train_flat, state.batch_stats, batch
+            )
+            grads = flax.traverse_util.unflatten_dict(
+                {
+                    **g_train,
+                    **{
+                        k: jnp.zeros_like(v) for k, v in frozen_flat.items()
+                    },
+                }
+            )
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (total, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         n_updates = state.ema_updates + 1  # reference increments first
