@@ -36,9 +36,10 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
-    from ..utils.platform import apply_platform_env
+    from ..utils.platform import apply_platform_env, enable_compile_cache
 
     apply_platform_env()
+    enable_compile_cache()
 
     import jax
 

@@ -49,10 +49,11 @@ def main(argv=None):
 
     import os
 
-    from ..utils.platform import apply_platform_env
+    from ..utils.platform import apply_platform_env, enable_compile_cache
 
     apply_platform_env(num_cpu_devices=int(
         os.environ.get("RCBEV_NUM_CPU_DEVICES", 0)) or None)
+    enable_compile_cache()
 
     import jax
 

@@ -26,6 +26,24 @@ def apply_platform_env(num_cpu_devices: int | None = None) -> None:
         pass  # backend already initialized; keep whatever is live
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compile cache for CLI entry points.
+
+    The full train step / inference graphs take minutes to compile on a
+    1-core host; the repo ships a pre-warmed ``.jax_cache`` so driver and
+    CI runs don't pay that cost (reference analog: none — torch eager).
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def tpu_compiler_options() -> dict | None:
     """Compiler options for perf-critical jits on TPU; None elsewhere.
 
