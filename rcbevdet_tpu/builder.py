@@ -44,6 +44,7 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
         bev_size=m.get("bev_size", 128),
         num_classes=m.get("num_classes", 10),
         freeze_img=m.get("freeze_img", False),
+        bev_pool_impl=m.get("bev_pool_impl", "xla"),
         with_hop=m.get("with_hop", False),
         hop_embed_dims=m.get("hop_embed_dims", 160),
         stereo=m.get("stereo", False),

@@ -79,8 +79,13 @@ class MSDeformAttn(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
         # remat: the packed-corner patch ([B*heads, Lq*P, 4*hd], ~0.5 GB
-        # per layer at train shapes) must not be stored for backward
-        reduce = "einsum" if train else "pallas"
+        # per layer at train shapes) must not be stored for backward.
+        # 'custom' = hand-written VJP (ops/deform_attn.py::
+        # packed_combine_p_reduce): re-gathers the patch in the backward
+        # and builds d_patch/d_w4t in scatter/stack-native layouts — the
+        # einsum autodiff's ~9.5 ms/layer of transposed patch copies
+        # disappear (measured on v5e at CAMF train shapes)
+        reduce = "custom" if train else "pallas"
         core = jax.checkpoint(
             lambda v, l, w: ms_deform_attn_core(
                 v, spatial_shapes, l, w, reduce=reduce

@@ -297,8 +297,10 @@ class LSSViewTransformerBEVDepth(nn.Module):
     depth_net_type: str = "bevdepth"
     stereo: bool = False
     # 'xla' = segment-sum (ops/bev_pool.py); 'pallas' = fused VMEM-resident
-    # kernel (ops/bev_pool_pallas.py).  A/B'd on-chip by tools/ab_bev_pool.py;
-    # see BENCH notes for which wins at which shapes.
+    # kernel (ops/bev_pool_pallas.py); 'sorted' = device-sorted MXU
+    # tile-matmul splat on the TRAIN path (ops/bev_pool_accel.py::
+    # bev_pool_train; eval keeps the dense path).  A/B'd on-chip by
+    # tools/ab_bev_pool.py; see BENCH notes for which wins at which shapes.
     bev_pool_impl: str = "xla"
 
     @property
@@ -420,15 +422,37 @@ class LSSViewTransformerBEVDepth(nn.Module):
             #   lowering (69 ms total).
             # - no remat: the product's VJP needs only (depth, feat) — XLA
             #   DCEs the [P, C] product residual, so nothing big is stored.
-            rb = ranks_bev.reshape(b, n, num_d, hf, wf)
-            out = jnp.stack(
-                [
-                    bev_pool_dense(
-                        depth_ndhw[i], feat[i], rb[i], nx * ny * nz
-                    )
-                    for i in range(b)
-                ]
-            )
+            if self.bev_pool_impl == "sorted":
+                # device-sorted MXU splat: ONE sort + tile-bucketing over
+                # the whole batch (per-sample ranks offset into a combined
+                # [B*num_cells] space; lax.sort is strongly sublinear in
+                # practice, so batching the sort amortizes it ~b-fold),
+                # splat with the accelerate-mode Pallas matmul kernel;
+                # dense (scatter-free) backward
+                from ..ops.bev_pool_accel import bev_pool_train
+
+                nc = nx * ny * nz
+                rk = ranks_bev.reshape(b, p)
+                rk_c = jnp.where(
+                    rk < nc,
+                    jnp.arange(b, dtype=jnp.int32)[:, None] * nc + rk,
+                    b * nc,
+                ).reshape(-1)
+                out = bev_pool_train(
+                    depth_ndhw.reshape(b * n, num_d, hf, wf),
+                    feat.reshape(b * n, hf, wf, c),
+                    rk_c, b * nc,
+                ).reshape(b, nc, c)
+            else:
+                rb = ranks_bev.reshape(b, n, num_d, hf, wf)
+                out = jnp.stack(
+                    [
+                        bev_pool_dense(
+                            depth_ndhw[i], feat[i], rb[i], nx * ny * nz
+                        )
+                        for i in range(b)
+                    ]
+                )
         # collapse z (nz=1 in all shipped configs): (B, Z, Y, X, C)->[B,Y,X,Z*C]
         out = out.reshape(b, nz, ny, nx, c)
         out = jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)

@@ -133,6 +133,89 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
     )
 
 
+def build_pool_meta_device(ranks_bev_flat, num_cells, depth_bins, hw,
+                           cells_per_tile=128, chunk=1024):
+    """Device-side :class:`PoolMeta` for per-step geometry (training path).
+
+    Same layout contract as :func:`precompute_pool_meta`, built with
+    static-shape JAX ops so it can live inside ``jit`` (train-time
+    geometry changes per sample under image/BEV augmentation, so the
+    host precompute does not apply).  Shape-stability recipe:
+
+    - sort by rank (``lax.sort_key_val``; ~0.35 ms for 250k keys on v5e),
+    - tile-bucket boundaries via ``searchsorted`` on the sorted tiles,
+    - carve per-tile chunk windows with ONE windowed gather: consecutive
+      slots of a chunk read CONSECUTIVE sorted points, so the per-slot
+      fetch is ``cap`` dynamic slices of length ``chunk``, not P random
+      rows.
+
+    Capacity is the static bound ``n_tiles + ceil(P/chunk)`` — each tile
+    wastes less than one chunk of padding — so no sample can overflow.
+    Padding chunks carry the last tile id (nondecreasing, and the splat
+    kernel just accumulates their zero contributions).
+    """
+    assert num_cells % cells_per_tile == 0
+    assert chunk % 8 == 0, "chunk must be sublane-aligned"
+    p = ranks_bev_flat.shape[0]
+    n_tiles = num_cells // cells_per_tile
+    cap = n_tiles + -(-p // chunk)
+    ranks = ranks_bev_flat.reshape(-1).astype(jnp.int32)
+    rk_s, perm_s = jax.lax.sort_key_val(
+        ranks, jnp.arange(p, dtype=jnp.int32)
+    )
+    tiles_s = rk_s // cells_per_tile  # trash rank num_cells -> n_tiles
+    bounds = jnp.searchsorted(
+        tiles_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    cnt = bounds[1:] - bounds[:-1]
+    n_ch = jnp.maximum(1, -(-cnt // chunk))  # empty tiles still get 1 chunk
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_ch).astype(jnp.int32)]
+    )
+    j = jnp.arange(cap, dtype=jnp.int32)
+    ct = jnp.clip(
+        jnp.searchsorted(off, j, side="right").astype(jnp.int32) - 1,
+        0, n_tiles - 1,
+    )
+    real = j < off[-1]
+    start = jnp.where(real, bounds[ct] + (j - off[ct]) * chunk, 0)
+    limit = jnp.where(real, bounds[ct + 1], 0)
+    k = jnp.arange(chunk, dtype=jnp.int32)
+    valid = (start[:, None] + k[None, :]) < limit[:, None]
+    # windowed fetch: start <= bounds[ct+1] <= p always, so padding the
+    # sorted arrays by one chunk keeps every window in bounds
+    rk_pad = jnp.concatenate(
+        [rk_s, jnp.full((chunk,), num_cells, jnp.int32)]
+    )
+    perm_pad = jnp.concatenate([perm_s, jnp.full((chunk,), p, jnp.int32)])
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    rk_w = jax.lax.gather(
+        rk_pad, start[:, None], dn, slice_sizes=(chunk,),
+        mode="promise_in_bounds",
+    )
+    perm_w = jax.lax.gather(
+        perm_pad, start[:, None], dn, slice_sizes=(chunk,),
+        mode="promise_in_bounds",
+    )
+    perm = jnp.where(valid, perm_w, p).reshape(-1)
+    local_cell = jnp.where(valid, rk_w - ct[:, None] * cells_per_tile, 0)
+    rf_perm = jnp.where(
+        perm < p, (perm // (depth_bins * hw)) * hw + perm % hw, 0
+    )
+    d_perm = jnp.where(perm < p, (perm // hw) % depth_bins, depth_bins)
+    return PoolMeta(
+        perm=perm,
+        rf_perm=rf_perm.astype(jnp.int32),
+        d_perm=d_perm.astype(jnp.int32),
+        local_cell=local_cell.astype(jnp.int32).reshape(cap, 8, chunk // 8),
+        chunk_tile=ct,
+        num_cells=num_cells,
+        cells_per_tile=cells_per_tile,
+    )
+
+
 def _splat_kernel(ct_ref, cell_ref, vals_ref, out_ref):
     i = pl.program_id(0)
     prev = ct_ref[jnp.maximum(i - 1, 0)]
@@ -246,3 +329,59 @@ def bev_pool_accel(depth_ndhw, feat, meta: PoolMeta, interpret=None):
         meta.num_cells, meta.cells_per_tile, interpret=interpret,
     )
     return out.astype(feat.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bev_pool_train(depth_ndhw, feat, ranks_bev_flat, num_cells,
+                   cells_per_tile=128, chunk=1024):
+    """LSS splat for the TRAINING path: sorted MXU splat fwd, dense bwd.
+
+    The dense segment-sum forward costs ~19 ns/scatter-row on v5e
+    (4.7 ms/frame at RCBEVDet shapes, 42 ms/step over 9 frames); this
+    replaces it with :func:`build_pool_meta_device` (device sort +
+    windowed bucketing) feeding the accelerate-mode tile-matmul splat.
+    The backward keeps the dense formulation's gather + plain reductions
+    (d_depth = <g[cell], feat>, d_feat = sum_D depth * g[cell] — no
+    scatter anywhere, mirroring bev_pool_cuda.cu:67-121 semantics).
+
+    Args:
+      depth_ndhw: [N, D, Hf, Wf] softmax depth (frustum order).
+      feat: [N, Hf, Wf, C] image features.
+      ranks_bev_flat: [N*D*Hf*Wf] int32 cell ranks (num_cells = trash).
+
+    Returns:
+      [num_cells, C] pooled features (feat dtype).
+    """
+    n, d, hf, wf = depth_ndhw.shape
+    meta = build_pool_meta_device(
+        ranks_bev_flat, num_cells, d, hf * wf, cells_per_tile, chunk
+    )
+    return bev_pool_accel(depth_ndhw, feat, meta)
+
+
+def _train_fwd(depth_ndhw, feat, ranks_bev_flat, num_cells, cells_per_tile,
+               chunk):
+    out = bev_pool_train(
+        depth_ndhw, feat, ranks_bev_flat, num_cells, cells_per_tile, chunk
+    )
+    return out, (depth_ndhw, feat, ranks_bev_flat)
+
+
+def _train_bwd(num_cells, cells_per_tile, chunk, res, g):
+    depth_ndhw, feat, ranks_bev_flat = res
+    n, d, hf, wf = depth_ndhw.shape
+    hw = hf * wf
+    c = feat.shape[-1]
+    g = g.astype(jnp.float32)
+    g_pad = jnp.concatenate([g, jnp.zeros((1, c), g.dtype)], 0)
+    g_rows = g_pad[ranks_bev_flat].reshape(n, d, hw, c)
+    d_depth = jnp.sum(
+        g_rows * feat.astype(g.dtype).reshape(n, 1, hw, c), -1
+    ).reshape(depth_ndhw.shape).astype(depth_ndhw.dtype)
+    d_feat = jnp.sum(
+        g_rows * depth_ndhw.astype(g.dtype).reshape(n, d, hw, 1), 1
+    ).reshape(feat.shape).astype(feat.dtype)
+    return d_depth, d_feat, None
+
+
+bev_pool_train.defvjp(_train_fwd, _train_bwd)

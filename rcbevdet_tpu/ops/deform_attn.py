@@ -14,8 +14,11 @@ optimization slot on top of this reference implementation.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .warp import grid_sample_2d
 
@@ -119,6 +122,129 @@ def packed_bilinear_parts(value_bhwc, fx, fy, h, w,
     return patch, slot_w
 
 
+def packed_corner_parts_nogather(value_bhwc, fx, fy, h, w):
+    """Index/weight half of :func:`packed_bilinear_parts` — no gather.
+
+    Returns (packed_flat [N*H*W, 4hd], flat_idx [N, S] int32 global rows,
+    slot_w list of 4 [N, S, 1]) so a caller can own the gather (e.g. the
+    custom-VJP :func:`packed_combine_p_reduce`, which re-gathers in its
+    backward instead of storing the 0.5 GB patch)."""
+    n, s = fx.shape
+    hd = value_bhwc.shape[-1]
+    packed = _pack_corners(value_bhwc)  # [N, H, W, 4hd]
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xc = jnp.clip(x0i, 0, w - 1)
+    yc = jnp.clip(y0i, 0, h - 1)
+    nidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
+    flat_idx = (nidx * h + yc) * w + xc  # [N, S]
+
+    dt = value_bhwc.dtype
+    slot_w = [jnp.zeros(wx.shape, dt) for _ in range(4)]
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        ty = y0i + dy
+        tx = x0i + dx
+        valid = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+        oy = jnp.clip(ty - yc, 0, 1)
+        ox = jnp.clip(tx - xc, 0, 1)
+        wgt = (jnp.where(dx, wx, 1.0 - wx) * jnp.where(dy, wy, 1.0 - wy)
+               * valid[..., None].astype(dt)).astype(dt)
+        for si, (sy, sx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            hit = ((oy == sy) & (ox == sx))[..., None].astype(dt)
+            slot_w[si] = slot_w[si] + wgt * hit
+    return packed.reshape(n * h * w, 4 * hd), flat_idx, slot_w
+
+
+def _gather_packed_rows(packed_flat, flat_idx):
+    """[R, 4hd], [N, S] -> [N, S, 4hd] via the fast 1-component gather."""
+    n, s = flat_idx.shape
+    c4 = packed_flat.shape[-1]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        packed_flat, flat_idx.reshape(n * s, 1), dnums,
+        slice_sizes=(1, c4), mode="promise_in_bounds",
+    ).reshape(n, s, c4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_combine_p_reduce(packed_flat, flat_idx, w4t, p, hd):
+    """Gather + slot-combine + point-reduce with a hand-written VJP.
+
+    out[n, q, :] = sum_pp sum_si
+        packed_flat[flat_idx[n, pp*Lq+q], si*hd:(si+1)*hd]
+        * w4t[n, si, pp*Lq+q]
+
+    This is the TRAIN path of the deformable-attention core.  XLA's
+    autodiff of the einsum formulation materializes ~0.5 GB transposed
+    copies of the patch around its backward scatter (measured ~9.5
+    ms/layer of pure `copy` ops at CAMF train shapes on v5e); writing the
+    VJP explicitly keeps every backward tensor in the layout its consumer
+    wants: d_patch is built by an elementwise broadcast fusion feeding the
+    scatter directly, and d_w4t by an elementwise multiply-reduce.
+    Residuals are (packed_flat, flat_idx, w4t) — the patch is re-gathered
+    in the backward (the reference CUDA backward also re-derives the
+    corner values, ms_deform_attn_cuda.cu / ms_deform_im2col_cuda.cuh:238).
+
+    Args:
+      packed_flat: [N*H*W, 4*hd] packed corner table.
+      flat_idx: [N, S] int32 global rows, S = P*Lq, P-major.
+      w4t: [N, 4, S] combined slot*attention weights.
+      p, hd: static point count / head dim.
+
+    Returns [N, Lq, hd] in packed_flat's dtype.
+    """
+    n, s = flat_idx.shape
+    lq = s // p
+    patch = _gather_packed_rows(packed_flat, flat_idx)
+    val = sum(
+        patch[..., si * hd : (si + 1) * hd]
+        * w4t[:, si, :, None].astype(patch.dtype)
+        for si in range(4)
+    )
+    return val.reshape(n, p, lq, hd).sum(1)
+
+
+def _pcpr_fwd(packed_flat, flat_idx, w4t, p, hd):
+    out = packed_combine_p_reduce(packed_flat, flat_idx, w4t, p, hd)
+    return out, (packed_flat, flat_idx, w4t)
+
+
+def _pcpr_bwd(p, hd, res, g):
+    packed_flat, flat_idx, w4t = res
+    n, s = flat_idx.shape
+    lq = s // p
+    c4 = packed_flat.shape[-1]
+    patch = _gather_packed_rows(packed_flat, flat_idx)
+    g_b = jnp.broadcast_to(
+        g[:, None].astype(patch.dtype), (n, p, lq, hd)
+    ).reshape(n, s, hd)
+    d_w4t = jnp.stack(
+        [
+            jnp.sum(patch[..., si * hd : (si + 1) * hd] * g_b, -1)
+            for si in range(4)
+        ],
+        axis=1,
+    ).astype(w4t.dtype)
+    d_patch = jnp.concatenate(
+        [w4t[:, si, :, None].astype(patch.dtype) * g_b for si in range(4)],
+        axis=-1,
+    )  # [N, S, 4hd] — already in the scatter operand's layout
+    d_packed = jnp.zeros_like(packed_flat).at[flat_idx.reshape(-1)].add(
+        d_patch.reshape(-1, c4)
+    )
+    d_idx = np.zeros(flat_idx.shape, jax.dtypes.float0)
+    return d_packed, d_idx, d_w4t
+
+
+packed_combine_p_reduce.defvjp(_pcpr_fwd, _pcpr_bwd)
+
+
 def _sample_packed(value_bhwc, locs, h, w):
     """Bilinear-sample via one packed-corner gather.
 
@@ -172,7 +298,7 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         lq, p = locs_l.shape[1], locs_l.shape[3]
         if reduce == "pallas" and lq % 128:
             reduce = "slices"
-        if reduce in ("slices", "pallas"):
+        if reduce in ("slices", "pallas", "custom"):
             # P-MAJOR row order: row index = point * Lq + query, so the
             # final P-reduction is a sum of 8 contiguous [Lq, C] planes
             # (sequential reads) instead of a stride-8 sublane reduction,
@@ -186,6 +312,25 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
             )
         fx = locs_l[..., 0] * w - 0.5
         fy = locs_l[..., 1] * h - 0.5
+        if reduce == "custom":
+            # hand-written VJP (train path): the gather lives inside the
+            # op and is re-issued in the backward, so neither the patch
+            # nor any transposed copy of it is ever materialized
+            packed_flat, flat_idx, slot_w = packed_corner_parts_nogather(
+                value_l, fx, fy, h, w
+            )
+            aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)
+            aw = jnp.moveaxis(aw, 3, 2).reshape(
+                b * n_heads, p * lq, 1
+            ).astype(packed_flat.dtype)
+            w4t = jnp.stack(
+                [(slot_w[si] * aw)[..., 0] for si in range(4)], axis=1
+            )
+            out_l = packed_combine_p_reduce(
+                packed_flat, flat_idx, w4t, p, hd
+            )
+            outputs.append(out_l.reshape(b, n_heads, lq, hd))
+            continue
         patch, slot_w = packed_bilinear_parts(value_l, fx, fy, h, w)
         # fold the attention weight into the slot weights so the per-point
         # sampled tensor is never materialized: the point reduction happens

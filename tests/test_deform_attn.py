@@ -179,3 +179,76 @@ def test_packed_pallas_reduce_falls_back_when_unaligned():
     a = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="einsum")
     c = ms_deform_attn_core_packed(value, shapes, locs, w, reduce="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
+
+
+def test_packed_custom_reduce_forward_and_grads_equal_einsum():
+    """'custom' (hand-written VJP train path) == 'einsum' autodiff: both
+    the forward and d(value)/d(locations)/d(weights)."""
+    from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core_packed
+
+    rng = np.random.default_rng(13)
+    b, heads, hd, lq, p = 2, 4, 8, 64, 6
+    shapes = [(16, 24)]
+    len_in = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, len_in, heads, hd)), jnp.float32
+    )
+    locs = jnp.asarray(
+        rng.uniform(-0.3, 1.3, (b, lq, heads, len(shapes), p, 2)),
+        jnp.float32,
+    )
+    w = jax.nn.softmax(
+        jnp.asarray(
+            rng.standard_normal((b, lq, heads, len(shapes) * p)), jnp.float32
+        ),
+        axis=-1,
+    ).reshape(b, lq, heads, len(shapes), p)
+    cot = jnp.asarray(
+        rng.standard_normal((b, lq, heads * hd)), jnp.float32
+    )
+
+    def run(reduce):
+        def f(v, l, ww):
+            return ms_deform_attn_core_packed(v, shapes, l, ww, reduce=reduce)
+
+        out, vjp = jax.vjp(f, value, locs, w)
+        return out, vjp(cot)
+
+    out_e, g_e = run("einsum")
+    out_c, g_c = run("custom")
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_c),
+                               atol=2e-6)
+    for a, b_ in zip(g_e, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_packed_custom_reduce_under_checkpoint():
+    """The custom-VJP core composes with jax.checkpoint (CAMF wraps it)."""
+    from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core_packed
+
+    rng = np.random.default_rng(14)
+    b, heads, hd, lq, p = 1, 2, 4, 32, 3
+    shapes = [(8, 8)]
+    len_in = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, len_in, heads, hd)), jnp.float32
+    )
+    locs = jnp.asarray(
+        rng.uniform(0.0, 1.0, (b, lq, heads, len(shapes), p, 2)), jnp.float32
+    )
+    w = jnp.full((b, lq, heads, len(shapes), p), 1.0 / p, jnp.float32)
+
+    def loss(v, reduce):
+        core = jax.checkpoint(
+            lambda vv: ms_deform_attn_core_packed(
+                vv, shapes, locs, w, reduce=reduce
+            )
+        )
+        return jnp.sum(core(v) ** 2)
+
+    le, ge = jax.value_and_grad(lambda v: loss(v, "einsum"))(value)
+    lc, gc = jax.value_and_grad(lambda v: loss(v, "custom"))(value)
+    np.testing.assert_allclose(float(le), float(lc), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gc),
+                               rtol=1e-4, atol=2e-5)
