@@ -133,6 +133,37 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
     )
 
 
+def _bisect_left(a, v):
+    """Vectorized unrolled binary search (first i with a[i] >= v).
+
+    ``jnp.searchsorted``'s default method is a SEQUENTIAL scan on TPU
+    (measured 7.7 ms over 2.25M keys in the train step); ceil(log2(N))
+    unrolled rounds of a tiny gather cost microseconds instead.
+    """
+    n = a.shape[0]
+    lo = jnp.zeros(v.shape, jnp.int32)
+    hi = jnp.full(v.shape, n, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
+        mid = (lo + hi) // 2
+        pred = a[jnp.minimum(mid, n - 1)] < v
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return lo
+
+
+def _bisect_right(a, v):
+    """First i with a[i] > v (vectorized unrolled binary search)."""
+    n = a.shape[0]
+    lo = jnp.zeros(v.shape, jnp.int32)
+    hi = jnp.full(v.shape, n, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
+        mid = (lo + hi) // 2
+        pred = a[jnp.minimum(mid, n - 1)] <= v
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return lo
+
+
 def build_pool_meta_device(ranks_bev_flat, num_cells, depth_bins, hw,
                            cells_per_tile=128, chunk=1024):
     """Device-side :class:`PoolMeta` for per-step geometry (training path).
@@ -164,8 +195,8 @@ def build_pool_meta_device(ranks_bev_flat, num_cells, depth_bins, hw,
         ranks, jnp.arange(p, dtype=jnp.int32)
     )
     tiles_s = rk_s // cells_per_tile  # trash rank num_cells -> n_tiles
-    bounds = jnp.searchsorted(
-        tiles_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    bounds = _bisect_left(
+        tiles_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     cnt = bounds[1:] - bounds[:-1]
     n_ch = jnp.maximum(1, -(-cnt // chunk))  # empty tiles still get 1 chunk
@@ -173,10 +204,8 @@ def build_pool_meta_device(ranks_bev_flat, num_cells, depth_bins, hw,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_ch).astype(jnp.int32)]
     )
     j = jnp.arange(cap, dtype=jnp.int32)
-    ct = jnp.clip(
-        jnp.searchsorted(off, j, side="right").astype(jnp.int32) - 1,
-        0, n_tiles - 1,
-    )
+    ct = jnp.clip(_bisect_right(off, j).astype(jnp.int32) - 1,
+                  0, n_tiles - 1)
     real = j < off[-1]
     start = jnp.where(real, bounds[ct] + (j - off[ct]) * chunk, 0)
     limit = jnp.where(real, bounds[ct + 1], 0)
@@ -290,6 +319,11 @@ def bev_pool_accel(depth_ndhw, feat, meta: PoolMeta, interpret=None):
 
     Returns:
       [num_cells, C] pooled features (feat dtype).
+
+    NOTE: a replicated (rf, dbin) pair-row table (C+1-lane gather, no
+    depth select) was tried and REJECTED: at batched train shapes the
+    table is ~740 MB and the gather loses all locality — 425 vs 232
+    ms/step.  The narrow [n*hw, C+D+1] table stays VMEM-resident.
     """
     if interpret is None:  # run interpreted off-TPU (CPU tests / CLI)
         interpret = jax.default_backend() != "tpu"

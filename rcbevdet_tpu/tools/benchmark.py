@@ -97,10 +97,12 @@ def main(argv=None):
             total_steps=1000, freeze_img=mcfg.freeze_img,
             params=variables["params"],
         )
+        from ..utils.platform import tpu_train_compiler_options
+
         state = create_train_state(model, variables, tx)
         step = jax.jit(
             make_train_step(model, tx, mcfg),
-            compiler_options=tpu_compiler_options(),
+            compiler_options=tpu_train_compiler_options(),
         )
         holder = {"state": state}
 
@@ -173,7 +175,11 @@ def main(argv=None):
                 o = fn()
             jax.block_until_ready(o)
 
-        ms = traced_device_ms_per_step(run_n, args.iters)
+        # cap the traced window: long traces (>~7 s) overflow the
+        # profiler's event buffer and silently UNDERCOUNT op durations
+        # (observed: a 30-iter 244 ms/step trace reporting 171 ms/step)
+        n_traced = min(args.iters, 10)
+        ms = traced_device_ms_per_step(run_n, n_traced)
         dt = ms * args.iters / 1000.0
         timing = "device_trace"
     else:

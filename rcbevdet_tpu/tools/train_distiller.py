@@ -133,12 +133,12 @@ def main(argv=None):
         freeze_img=False,
     )
     state = create_train_state(distiller, variables, tx)
-    from ..utils.platform import tpu_compiler_options
+    from ..utils.platform import tpu_train_compiler_options
 
     step_fn = jax.jit(
         make_distill_train_step(distiller, teacher, teacher_variables, tx,
                                 scfg),
-        compiler_options=tpu_compiler_options(),
+        compiler_options=tpu_train_compiler_options(),
     )
 
     os.makedirs(args.work_dir, exist_ok=True)

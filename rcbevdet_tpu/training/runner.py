@@ -143,11 +143,11 @@ class Runner:
             fn = make_train_step(
                 self.model, self.tx, self.model_cfg, with_prev=with_prev
             )
-            from ..utils.platform import tpu_compiler_options
+            from ..utils.platform import tpu_train_compiler_options
 
             self._steps[with_prev] = jax.jit(
                 fn, donate_argnums=(0,),
-                compiler_options=tpu_compiler_options(),
+                compiler_options=tpu_train_compiler_options(),
             )
         return self._steps[with_prev]
 

@@ -44,7 +44,7 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def tpu_compiler_options() -> dict | None:
+def tpu_compiler_options(scoped_vmem_kib: int = 65536) -> dict | None:
     """Compiler options for perf-critical jits on TPU; None elsewhere.
 
     XLA:TPU's default scoped-VMEM budget (~16 MiB) is far too small for this
@@ -55,13 +55,21 @@ def tpu_compiler_options() -> dict | None:
     the identical graph with a 64 MiB budget on TPU v5e (128 MiB physical
     VMEM).  Scheduling-only: numerics are unaffected.
 
-    Override with RCBEVDET_SCOPED_VMEM_KIB (0 disables).
+    The best budget is graph-dependent: 64 MiB for the inference graphs;
+    the TRAIN step prefers 96 MiB (v5e sweep: 223.6 / 208.7 / 215.6
+    ms/step at 64 / 96 / 112 MiB) — use :func:`tpu_train_compiler_options`
+    there.  Override with RCBEVDET_SCOPED_VMEM_KIB (0 disables).
     """
     import jax
 
     if jax.default_backend() != "tpu":
         return None
-    kib = os.environ.get("RCBEVDET_SCOPED_VMEM_KIB", "65536")
+    kib = os.environ.get("RCBEVDET_SCOPED_VMEM_KIB", str(scoped_vmem_kib))
     if not int(kib):
         return None
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
+
+
+def tpu_train_compiler_options() -> dict | None:
+    """Compiler options for the TRAIN step (96 MiB scoped VMEM sweet spot)."""
+    return tpu_compiler_options(scoped_vmem_kib=98304)
