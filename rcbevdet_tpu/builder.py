@@ -48,6 +48,7 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
         with_hop=m.get("with_hop", False),
         hop_embed_dims=m.get("hop_embed_dims", 160),
         stereo=m.get("stereo", False),
+        compute_dtype=m.get("compute_dtype", None),
     )
 
 

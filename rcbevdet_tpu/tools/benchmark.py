@@ -41,6 +41,19 @@ def main(argv=None):
              "the fixed rig (reference benchmark_sequential.py:57-59) and "
              "use the Pallas tile-matmul splat",
     )
+    p.add_argument(
+        "--timing", choices=["trace", "sync"], default="trace",
+        help="sync: synchronous-dispatch wall-clock minus the measured "
+             "tunnel RTT floor — for steps near HBM capacity, where the "
+             "profiler's device-side memory overhead causes an OOM that "
+             "poisons the allocator",
+    )
+    p.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default="float32",
+        help="bfloat16: cast params + image inputs to bf16 and set the "
+             "model's compute_dtype (same casting rules as bench.py; BN "
+             "stats and LSS geometry stay f32)",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -67,6 +80,11 @@ def main(argv=None):
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+    if args.dtype == "bfloat16":
+        if args.mode == "train":
+            p.error("--dtype bfloat16 is inference-only (training keeps "
+                    "f32 master params)")
+        cfg.model["compute_dtype"] = "bfloat16"
     model, mcfg = build_model(cfg)
     rng = np.random.default_rng(0)
     full = _example_batch(mcfg, b=args.batch_size, rng=rng)
@@ -74,6 +92,18 @@ def main(argv=None):
         jax.random.PRNGKey(0),
         jax.tree_util.tree_map(lambda x: x[:1], full), train=False,
     )
+    if args.dtype == "bfloat16":
+        # bench.py casting rules: bf16 params (f32 masters are a training
+        # concern) + bf16 image inputs; BN stats stay f32
+        variables = {
+            "params": jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                variables["params"],
+            ),
+            "batch_stats": variables["batch_stats"],
+        }
+        full = dict(full, imgs=full["imgs"].astype(jnp.bfloat16))
 
     if args.mode == "train":
         from ..training.train_step import (
@@ -100,8 +130,11 @@ def main(argv=None):
         from ..utils.platform import tpu_train_compiler_options
 
         state = create_train_state(model, variables, tx)
+        # donate the state exactly like the runner does: without aliasing,
+        # old+new state coexist and B=4 peaks at 16.7 GB (> v5e HBM)
         step = jax.jit(
             make_train_step(model, tx, mcfg),
+            donate_argnums=(0,),
             compiler_options=tpu_train_compiler_options(),
         )
         holder = {"state": state}
@@ -132,7 +165,7 @@ def main(argv=None):
         # tail and the decode over the batch
         prev_bev = jnp.zeros(
             (args.batch_size, mcfg.num_adj, ny, nx, mcfg.num_trans_channels),
-            jnp.float32,
+            jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         )
         prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
 
@@ -166,8 +199,12 @@ def main(argv=None):
     jax.block_until_ready(out)
     if jax.default_backend() == "tpu":
         # wall-clock loops lie on tunneled-TPU harnesses; use profiler
-        # trace op sums (bench.py docstring)
-        from ..utils.profiling import traced_device_ms_per_step
+        # trace op sums (bench.py docstring), or --timing sync for steps
+        # near HBM capacity (tracing has device-side memory overhead and
+        # an OOM under the profiler poisons the allocator)
+        from ..utils.profiling import (
+            sync_ms_per_step, traced_device_ms_per_step,
+        )
 
         def run_n(n):
             o = None
@@ -175,13 +212,16 @@ def main(argv=None):
                 o = fn()
             jax.block_until_ready(o)
 
-        # cap the traced window: long traces (>~7 s) overflow the
-        # profiler's event buffer and silently UNDERCOUNT op durations
-        # (observed: a 30-iter 244 ms/step trace reporting 171 ms/step)
-        n_traced = min(args.iters, 10)
-        ms = traced_device_ms_per_step(run_n, n_traced)
+        if args.timing == "sync":
+            ms = sync_ms_per_step(run_n, min(args.iters, 10))
+            timing = "sync_wallclock_minus_rtt"
+        else:
+            # cap the traced window: long traces (>~7 s) overflow the
+            # profiler's event buffer and silently UNDERCOUNT op durations
+            # (observed: a 30-iter 244 ms/step trace reporting 171 ms/step)
+            ms = traced_device_ms_per_step(run_n, min(args.iters, 10))
+            timing = "device_trace"
         dt = ms * args.iters / 1000.0
-        timing = "device_trace"
     else:
         t0 = time.perf_counter()
         for _ in range(args.iters):

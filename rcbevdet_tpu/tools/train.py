@@ -149,6 +149,10 @@ def main(argv=None):
         eval_fn=eval_fn,
         eval_interval=cfg.get("eval_interval", 4),
         seed=args.seed,
+        fade_epoch=cfg.get("fade_epoch", -1),
+        # reference: GradientCumulativeOptimizerHook when cumulative_iters
+        # is present in optimizer_config (apis/train.py:270-272)
+        cumulative_iters=cfg.optimizer_config.get("cumulative_iters", 1),
     )
     if args.resume_from:
         runner.state = restore_checkpoint(args.resume_from, runner.state)

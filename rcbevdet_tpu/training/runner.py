@@ -52,6 +52,7 @@ class Runner:
         mesh=None,
         init_variables=None,
         auto_resume=True,
+        cumulative_iters=1,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -75,7 +76,10 @@ class Runner:
             cbgs_indices(dataset, rng) if use_cbgs else list(range(len(dataset)))
         )
         self.steps_per_epoch = max(len(self.indices) // batch_size, 1)
-        total_steps = self.steps_per_epoch * max_epochs
+        # schedules advance once per optimizer APPLY (make_optimizer docs)
+        total_steps = max(
+            self.steps_per_epoch * max_epochs // max(cumulative_iters, 1), 1
+        )
 
         # each host collates only its slice of every global batch (the
         # schedule itself is seed-identical across hosts); single-process
@@ -102,6 +106,7 @@ class Runner:
             base_lr=base_lr, weight_decay=weight_decay, total_steps=total_steps,
             grad_clip=grad_clip, freeze_img=model_cfg.freeze_img,
             params=init_variables["params"],
+            cumulative_iters=cumulative_iters,
         )
         state = create_train_state(model, init_variables, self.tx)
         self.start_epoch = 0

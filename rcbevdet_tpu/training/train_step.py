@@ -67,10 +67,22 @@ def make_optimizer(
     params=None,
     layer_decay=None,
     layer_decay_num_layers=None,
+    cumulative_iters=1,
 ):
     """``layer_decay``: ViT layer-wise LR decay rate (e.g. 0.9); scales
     the final update per image-backbone block like the reference's
-    LearningRateDecayOptimizerConstructor param groups."""
+    LearningRateDecayOptimizerConstructor param groups.
+
+    ``cumulative_iters``: gradient accumulation — apply the (mean of the)
+    accumulated gradients every k calls, identity updates in between.
+    Counterpart of mmcv's GradientCumulativeOptimizerHook
+    (apis/train.py:270-272; its loss/k scaling == optax.MultiSteps' mean),
+    and the single-chip route to the reference's batch-8-per-GPU recipe
+    on 16 GB HBM.  The cyclic LR/momentum schedules advance once per
+    APPLY (MultiSteps holds inner state constant between applies), so
+    pass ``total_steps`` in optimizer steps (train iters / k); the
+    reference's iter-based LR hook differs by at most one micro-iter of
+    schedule resolution at each apply."""
     lr_fn = cyclic_lr(base_lr, total_steps)
     b1_fn = cyclic_momentum(0.9, total_steps)
     parts = []
@@ -101,7 +113,10 @@ def make_optimizer(
         # ... and zero the final updates as well: adamw's decoupled weight
         # decay adds -lr*wd*param even where the gradient is zero.
         parts.append(optax.masked(optax.set_to_zero(), _inverted_mask(params)))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if cumulative_iters > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cumulative_iters)
+    return tx
 
 
 def layer_decay_factors(params, decay=0.9, num_layers=None,

@@ -67,7 +67,54 @@ def traced_device_ms_per_step(run_n_steps, n) -> float:
     Wall-clock loops lie on tunneled-TPU harnesses (``block_until_ready``
     can return at enqueue-ack); trace op sums are the reliable timing and
     match locally-attached hardware semantics (see bench.py docstring).
+
+    Long traces (>~7 s of device work) overflow the TPU-side profiler
+    buffer (RESOURCE_EXHAUSTED) and come back with no device events, so on
+    an empty/zero result the window is halved and re-traced down to a
+    single step.  Tracing also has device-side MEMORY overhead: a step
+    that fits HBM bare can OOM under the profiler, and that OOM leaves
+    the allocator exhausted for the rest of the process — for steps near
+    HBM capacity use :func:`sync_ms_per_step` instead (the benchmark
+    CLI's ``--timing sync``).
     """
+    while True:
+        ms = _traced_once(run_n_steps, n)
+        if ms > 0 or n <= 1:
+            return ms
+        n = max(1, n // 2)
+
+
+def sync_ms_per_step(run_n_steps, n) -> float:
+    """Per-step wall-clock with the dispatch tunnel forced synchronous,
+    minus the per-step RTT floor.
+
+    On this harness the first device_get in a process flips dispatch into
+    per-call synchronous mode; ``run_n_steps`` is expected to
+    block_until_ready its last output, which in synchronous mode really
+    waits for the device.  The RTT floor is measured on a trivial jitted
+    add and subtracted per step.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    # poison dispatch into synchronous mode (idempotent)
+    tiny = jax.jit(lambda x: x + 1.0)
+    jax.device_get(tiny(jnp.float32(0)))
+    t0 = time.perf_counter()
+    rtt_iters = 20
+    for _ in range(rtt_iters):
+        jax.block_until_ready(tiny(jnp.float32(0)))
+    rtt_s = (time.perf_counter() - t0) / rtt_iters
+    run_n_steps(1)  # re-warm under synchronous mode
+    t0 = time.perf_counter()
+    run_n_steps(n)
+    dt = time.perf_counter() - t0
+    return max(dt / n - rtt_s, 0.0) * 1e3
+
+
+def _traced_once(run_n_steps, n) -> float:
     import glob
     import gzip
     import json

@@ -65,3 +65,35 @@ def test_multihost_helpers_single_process():
 
     start, size = host_local_slice(8)
     assert (start, size) == (0, 8)
+
+
+def test_gradient_accumulation_matches_mean_grad():
+    """MultiSteps(cumulative_iters=k) == one apply on the micro-grad mean
+    (mmcv GradientCumulativeOptimizerHook's loss/k scaling)."""
+    params = {"camf": {"w": jnp.ones(4)}}
+    g1 = {"camf": {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0])}}
+    g2 = {"camf": {"w": jnp.asarray([0.0, 4.0, -1.0, 1.0])}}
+
+    tx_k = make_optimizer(total_steps=10, freeze_img=False,
+                          cumulative_iters=2)
+    s = tx_k.init(params)
+    p = params
+    for g in (g1, g2):
+        u, s = tx_k.update(g, s, p)
+        p = jax.tree_util.tree_map(lambda x, d: x + d, p, u)
+    # first micro-step must be an identity update
+    tx_probe = make_optimizer(total_steps=10, freeze_img=False,
+                              cumulative_iters=2)
+    sp = tx_probe.init(params)
+    u1, _ = tx_probe.update(g1, sp, params)
+    assert float(jnp.abs(u1["camf"]["w"]).sum()) == 0.0
+
+    tx_1 = make_optimizer(total_steps=10, freeze_img=False)
+    s1 = tx_1.init(params)
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    u, _ = tx_1.update(gm, s1, params)
+    p_ref = jax.tree_util.tree_map(lambda x, d: x + d, params, u)
+    np.testing.assert_allclose(
+        np.asarray(p["camf"]["w"]), np.asarray(p_ref["camf"]["w"]),
+        rtol=1e-6,
+    )
