@@ -145,8 +145,14 @@ class CenterPointPillars(nn.Module):
         pillar_feats = self.pfn(
             pd.features, pd.num_points, pd.coors, pd.pillar_mask, train=train
         )
-        canvas = jax.vmap(scatter_pillars, in_axes=(0, 0, 0, None, None))(
-            pillar_feats, pd.coors, pd.pillar_mask, ny, nx
+        # unrolled over B: XLA's batched-scatter lowering serializes
+        # through layout-hostile while loops (see pillar_scatter.py)
+        canvas = jnp.stack(
+            [
+                scatter_pillars(pillar_feats[i], pd.coors[i],
+                                pd.pillar_mask[i], ny, nx)
+                for i in range(pillar_feats.shape[0])
+            ]
         )
         feats = self.backbone(canvas, train=train)
         x = self.neck(feats, train=train)

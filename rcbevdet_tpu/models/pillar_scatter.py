@@ -49,8 +49,17 @@ class PointPillarsScatterRCS(nn.Module):
         b, p, c = pillar_feats.shape
         ny, nx = self.output_shape
 
-        features = jax.vmap(scatter_pillars, in_axes=(0, 0, 0, None, None))(
-            pillar_feats, coors, pillar_mask, ny, nx
+        # python-unrolled over B, NOT vmapped: XLA's batched-scatter
+        # lowering serializes through [C, B, cells]-layout while loops
+        # (~14 ms of relayout at 4-stream serving); per-sample scatters
+        # stay on the fast lowering (same finding as the train-time LSS
+        # pooling, view_transformer.py)
+        features = jnp.stack(
+            [
+                scatter_pillars(pillar_feats[i], coors[i], pillar_mask[i],
+                                ny, nx)
+                for i in range(b)
+            ]
         )  # [B, ny, nx, C]
 
         r2 = rcs[..., 0] ** 2 + rcs[..., 1] ** 2
@@ -65,9 +74,14 @@ class PointPillarsScatterRCS(nn.Module):
         from ..core.gaussian import compute_rcs_seeds
         from ..ops.rcs_render import render_rcs_maps_pallas
 
-        seed_r, seed_v = jax.vmap(
-            compute_rcs_seeds, in_axes=(0, 0, 0, 0, None, None, None)
-        )(centers, radius, rcs[..., -2], pillar_mask, ny, nx, self.r_max)
+        # unrolled for the same batched-scatter-lowering reason as above
+        seeds = [
+            compute_rcs_seeds(centers[i], radius[i], rcs[i, ..., -2],
+                              pillar_mask[i], ny, nx, self.r_max)
+            for i in range(b)
+        ]
+        seed_r = jnp.stack([s[0] for s in seeds])
+        seed_v = jnp.stack([s[1] for s in seeds])
         heat, feat = render_rcs_maps_pallas(seed_r, seed_v, self.r_max)
 
         # the RCS maps render in f32 (exp/EDT math); cast at this boundary

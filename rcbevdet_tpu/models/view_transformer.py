@@ -357,11 +357,12 @@ class LSSViewTransformerBEVDepth(nn.Module):
     ):
         """depth [B, N, Hf, Wf, D]; feat [B, N, Hf, Wf, C] -> [B, ny, nx, C].
 
-        ``pool_meta`` (a PoolMeta, B=1 only) switches to the accelerate
-        path: ranks precomputed on host for fixed geometry (reference
-        accelerate mode, view_transformer.py:159-178), pooled by the
-        Pallas tile-matmul splat — the per-frame geometry math and the
-        scatter both drop out of the graph."""
+        ``pool_meta`` (a PoolMeta, shared by all B streams — same fixed
+        rig) switches to the accelerate path: ranks precomputed on host
+        for fixed geometry (reference accelerate mode,
+        view_transformer.py:159-178), pooled by the Pallas tile-matmul
+        splat — the per-frame geometry math and the scatter both drop
+        out of the graph."""
         b, n, hf, wf, num_d = depth.shape
         c = feat.shape[-1]
         nx, ny, nz = self.grid_size
@@ -369,9 +370,17 @@ class LSSViewTransformerBEVDepth(nn.Module):
         if pool_meta is not None:
             from ..ops.bev_pool_accel import bev_pool_accel
 
-            assert b == 1, "accelerate pooling is per-sample (deploy path)"
+            # per-sample kernel, python-unrolled over streams: batched
+            # serving shares ONE rank table (same fixed rig for every
+            # stream); pooling stays linear in B while the rest of the
+            # graph amortizes
             depth_ndhw = jnp.moveaxis(depth, -1, 2)  # [B, N, D, Hf, Wf]
-            out = bev_pool_accel(depth_ndhw[0], feat[0], pool_meta)[None]
+            out = jnp.stack(
+                [
+                    bev_pool_accel(depth_ndhw[i], feat[i], pool_meta)
+                    for i in range(b)
+                ]
+            )
             out = out.reshape(b, nz, ny, nx, c)
             return jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)
         frustum = create_frustum(gc["depth"], self.input_size, self.downsample)

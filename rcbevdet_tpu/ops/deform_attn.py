@@ -287,6 +287,26 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
         not lane-aligned).
     """
     b, len_in, n_heads, hd = value.shape
+    if b > 1:
+        # one stream at a time: the flat packed-corner gather runs at the
+        # gather-engine floor (~2 ns/row) only while its table stays
+        # VMEM-resident (32 MB at CAMF B=1); batching the table 4x pushes
+        # it to HBM random access (measured 10.8 ns/row — fusion.38 = 45
+        # ms/step at 4-stream serving).  Per-stream unrolling keeps every
+        # gather on the fast path for batched serving AND B>1 training.
+        return jnp.concatenate(
+            [
+                ms_deform_attn_core_packed(
+                    value[i : i + 1],
+                    spatial_shapes,
+                    sampling_locations[i : i + 1],
+                    attention_weights[i : i + 1],
+                    reduce=reduce,
+                )
+                for i in range(b)
+            ],
+            axis=0,
+        )
     outputs = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
