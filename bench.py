@@ -259,6 +259,61 @@ def main():
             for k, r in results.items()
         },
     }
+
+    # Batched-stream serving throughput (extra, never the headline): the
+    # same cached-sequential step over N INDEPENDENT camera streams
+    # (multi-vehicle serving) amortizes the radar small-op tail and the
+    # decode — FPS here counts frames (one per stream per step).  Guarded:
+    # any failure must not cost the headline line.
+    try:
+        n_streams = int(os.environ.get("BENCH_STREAMS", "8"))
+        if n_streams > 1:
+            dt_b = jnp.bfloat16
+            vb = {
+                "params": jax.tree_util.tree_map(
+                    lambda x: x.astype(dt_b)
+                    if x.dtype == jnp.float32 else x,
+                    variables["params"],
+                ),
+                "batch_stats": variables["batch_stats"],
+            }
+            fullb = _example_batch(cfg, b=n_streams, rng=rng)
+            kbb = {
+                k: (v[:, 0:1] if k in ("imgs", "sensor2keyegos", "intrins",
+                                       "post_rots", "post_trans") else v)
+                for k, v in fullb.items()
+            }
+            kbb = dict(kbb, imgs=kbb["imgs"].astype(dt_b))
+            pbb = jnp.zeros(
+                (n_streams, num_adj, ny, nx, cfg.num_trans_channels), dt_b
+            )
+            psb = jnp.asarray(fullb["sensor2keyegos"][:, 1:])
+            stepb = make_step(model_bf16)
+            dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)
+            jax.block_until_ready(dec.bboxes)
+            for _ in range(3):
+                dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)
+            jax.block_until_ready(dec.bboxes)
+            st = {"pb": pbb}
+
+            def run_nb(n):
+                pb = st["pb"]
+                d = None
+                for _ in range(n):
+                    d, pb = stepb(vb, kbb, pb, psb, pool_meta)
+                jax.block_until_ready(d.bboxes)
+                st["pb"] = pb
+
+            ms_step = _traced_device_ms_per_step(run_nb, 10)
+            out["streams_bf16"] = {
+                "n_streams": n_streams,
+                "ms_per_step_device": round(ms_step, 3),
+                "ms_per_frame_device": round(ms_step / n_streams, 3),
+                "fps_per_chip_device": round(n_streams * 1e3 / ms_step, 2),
+            }
+    except Exception as e:  # pragma: no cover - best-effort extra
+        out["streams_bf16"] = {"error": str(e)[:200]}
+
     print(json.dumps(out))
 
 
