@@ -79,9 +79,14 @@ def combine4_p_reduce(patch, w4t, p, hd, block_q=8192, interpret=None):
     lq = s // p
     # cap the patch block at ~2 MB so wide-channel calls (e.g. the BEV
     # temporal warp, c4=320) still double-buffer comfortably in VMEM;
-    # round down to a power of two so the halving loop lands on a divisor
-    cap = max(128, (2 << 20) // (c4 * patch.dtype.itemsize))
-    t = min(block_q, 1 << (cap.bit_length() - 1))
+    # round down to a power of two so the halving loop lands on a divisor.
+    # An explicit block_q wins over the cap (block-size sweeps / callers
+    # that know their VMEM budget).
+    if block_q != 8192:
+        t = block_q
+    else:
+        cap = max(128, (2 << 20) // (c4 * patch.dtype.itemsize))
+        t = min(block_q, 1 << (cap.bit_length() - 1))
     while lq % t:
         t //= 2
     n_lq = lq // t
