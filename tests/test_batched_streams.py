@@ -75,3 +75,53 @@ def test_two_identical_streams_match_single_stream():
         h2 = np.asarray(preds2["heatmap"])
         np.testing.assert_allclose(h2[0], h1[0], rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(h2[1], h2[0], rtol=1e-6, atol=1e-6)
+
+
+def test_stream_server_roll_and_reset():
+    """StreamServer: jitted capacity-S step, device cache roll, host NMS,
+    and per-slot reset (rcbevdet_tpu/serving.py)."""
+    from rcbevdet_tpu.serving import StreamServer
+
+    cfg = tiny_config(use_radar=True)
+    model = RCBEVDet(cfg)
+    rng = np.random.default_rng(7)
+    b1 = tiny_batch(rng, cfg, b=1)
+    variables = model.init(jax.random.PRNGKey(0), b1, train=False)
+
+    test_cfg = dict(
+        pc_range=(-8.0, -8.0), voxel_size=(0.125, 0.125),
+        out_size_factor=8,
+        post_center_range=(-10.0, -10.0, -10.0, 10.0, 10.0, 10.0),
+        max_num=50, score_threshold=0.0, nms_type="rotate", nms_thr=0.2,
+        nms_rescale_factor=(1.0,) * 10, pre_max_size=100,
+        post_max_size=50, min_radius=(4, 12, 10, 1, 0.85, 0.175),
+    )
+    srv = StreamServer(model, variables, cfg, n_streams=2,
+                       test_cfg=test_cfg)
+
+    kb1 = _key_batch(b1)
+    kb = {k: jnp.concatenate([v, v], axis=0) for k, v in kb1.items()}
+    s2k = jnp.concatenate(
+        [b1["sensor2keyegos"][:, 1:]] * 2, axis=0
+    )
+
+    out1 = srv.step(kb, s2k)
+    assert len(out1) == 2
+    for d in out1:
+        assert d["bboxes"].shape[1] == 9
+        assert len(d["scores"]) == len(d["labels"]) == len(d["bboxes"])
+    # identical streams -> identical detections
+    np.testing.assert_allclose(out1[0]["bboxes"], out1[1]["bboxes"],
+                               rtol=1e-5, atol=1e-5)
+    # the cache rolled: key BEV entered slot 0 of prev_bev (non-zero)
+    assert float(jnp.abs(srv.prev_bev[:, 0]).sum()) > 0.0
+
+    # second step with the warm cache still agrees across slots
+    out2 = srv.step(kb, s2k)
+    np.testing.assert_allclose(out2[0]["bboxes"], out2[1]["bboxes"],
+                               rtol=1e-5, atol=1e-5)
+
+    # resetting slot 1 zeroes only its cache
+    srv.reset_stream(1)
+    assert float(jnp.abs(srv.prev_bev[1]).sum()) == 0.0
+    assert float(jnp.abs(srv.prev_bev[0]).sum()) > 0.0
