@@ -41,6 +41,13 @@ def convert_tensor(name: str, w: np.ndarray):
     if w.ndim == 3:  # Conv1d k=1 -> Dense
         return np.transpose(w[..., 0], (1, 0))
     if w.ndim == 2:
+        # nn.Embedding tables ([num_embeddings, dim] lookup tables, e.g.
+        # CAMF's LearnedPositionalEncoding3D row/col_embed) are NOT linear
+        # kernels — transposing a square 128x128 table would corrupt it
+        # silently (caught by tests/test_reference_module_parity.py::
+        # test_camf_glue_parity).
+        if name.endswith("_embed.weight") or ".embedding." in name:
+            return w
         return np.transpose(w, (1, 0))
     return w
 

@@ -568,3 +568,73 @@ def load_ms_deform_attn():
     _module("_ref_msda_pkg.modules").__path__ = []
     spec.loader.exec_module(mod)
     return mod, funcs
+
+
+def load_bevdet_rc():
+    """Load the REFERENCE detector file (bevdet_rc.py) itself.
+
+    The CAMF fusion glue — reduc conv + positional embeds + dense
+    reference points + both MSDeformAttn directions + RadarConvFuser —
+    lives in BEVDet_RC.extract_feat (bevdet_rc.py:303-357); loading the
+    real file lets tests run that glue with canned branch outputs instead
+    of re-transcribing it.  The camera/radar branch builders are satisfied
+    with registry-registered identity modules by the caller.
+    """
+    install()
+    sys.modules["mmdet3d.ops.bev_pool_v2.bev_pool"].TRTBEVPoolv2 = _stub
+    sys.modules["mmcv.cnn"].normal_init = lambda m, **k: None
+
+    mmodels = sys.modules["mmdet.models"]
+    if not hasattr(mmodels, "DETECTORS"):
+        mmodels.DETECTORS = Registry("DETECTORS")
+    mres = sys.modules["mmdet.models.backbones.resnet"]
+    if not hasattr(mres, "ResNet"):
+        mres.ResNet = type("ResNet", (nn.Module,), {})
+
+    mmcv_ops = _module("mmcv.ops")
+    if not hasattr(mmcv_ops, "Voxelization"):
+        class _Voxelization(nn.Module):
+            def __init__(self, **kw):
+                super().__init__()
+
+        mmcv_ops.Voxelization = _Voxelization
+    sys.modules["mmcv"].ops = mmcv_ops
+
+    b = sys.modules["mmdet3d.models.builder"]
+
+    def _mk(reg):
+        def _build(cfg, **kw):
+            cfg = dict(cfg)
+            return reg.get(cfg.pop("type"))(**cfg)
+
+        return _build
+
+    for name, reg in (("build_voxel_encoder", b.VOXEL_ENCODERS),
+                      ("build_middle_encoder", b.MIDDLE_ENCODERS)):
+        if not hasattr(b, name):
+            setattr(b, name, _mk(reg))
+
+    detpkg = _module("mmdet3d.models.detectors")
+    if not hasattr(detpkg, "__path__"):
+        detpkg.__path__ = []
+    cp = _module("mmdet3d.models.detectors.centerpoint")
+    if not hasattr(cp, "CenterPoint"):
+        class CenterPoint(nn.Module):
+            def __init__(self, **kwargs):
+                super().__init__()
+
+        cp.CenterPoint = CenterPoint
+    detpkg.centerpoint = cp
+
+    if ("mmdet3d.models.model_utils.ops.modules.ms_deform_attn"
+            not in sys.modules):
+        funcs = _load_by_path(
+            "mmdet3d/models/model_utils/ops/functions/ms_deform_attn_func.py"
+        )
+        fpkg = _module("mmdet3d.models.model_utils.ops.functions")
+        fpkg.MSDeformAttnFunction = funcs.MSDeformAttnFunction
+        fpkg.ms_deform_attn_core_pytorch = funcs.ms_deform_attn_core_pytorch
+        _load_by_path(
+            "mmdet3d/models/model_utils/ops/modules/ms_deform_attn.py"
+        )
+    return _load_by_path("mmdet3d/models/detectors/bevdet_rc.py")

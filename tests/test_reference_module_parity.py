@@ -460,3 +460,87 @@ def test_dla_forward_parity(rng):
     for j, t in zip(j_outs, t_outs):
         np.testing.assert_allclose(
             np.moveaxis(np.asarray(j), -1, 1), t.numpy(), **TOL)
+
+
+# ------------------------------------------------------------ CAMF glue
+def test_camf_glue_parity(rng, monkeypatch):
+    """Run the REFERENCE BEVDet_RC.extract_feat fusion glue itself
+    (bevdet_rc.py:303-357) — reduc conv, learned pos embeds, dense
+    reference points, both MSDeformAttn directions, RadarConvFuser — with
+    canned branch outputs, and compare against models/camf.py::CAMF with
+    converted weights.  This covers the glue the module-level tests
+    don't: pos-embed pairing, the batch-1 mask broadcast, the spurious
+    level_start_index, and the fuser's clone/concat pattern."""
+    import sys as _sys
+
+    mod = refshim.load_bevdet_rc()
+
+    # CPU oracle instead of the CUDA ext
+    msda = _sys.modules[
+        "mmdet3d.models.model_utils.ops.modules.ms_deform_attn"]
+    funcs = _sys.modules["mmdet3d.models.model_utils.ops.functions"]
+
+    class _PyFn:
+        @staticmethod
+        def apply(value, shapes, start_index, locs, weights, step):
+            return funcs.ms_deform_attn_core_pytorch(
+                value, shapes, locs, weights)
+
+    monkeypatch.setattr(msda, "MSDeformAttnFunction", _PyFn)
+
+    # identity camera/BEV-encoder branches (never exercised here)
+    import mmdet3d.models.builder as b
+
+    class _Id(torch.nn.Module):
+        def __init__(self, **kw):
+            super().__init__()
+
+        def forward(self, *a, **k):
+            return a[0] if a else None
+
+    b.NECKS.register_module(name="_Id", module=_Id)
+    b.BACKBONES.register_module(name="_Id", module=_Id)
+
+    bev = 16
+    det = mod.BEVDet_RC(
+        img_view_transformer=dict(type="_Id"),
+        img_bev_encoder_backbone=dict(type="_Id"),
+        img_bev_encoder_neck=dict(type="_Id"),
+        imc=256, rac=64, bev_size=bev,
+    )
+    det.eval()
+    _randomize_params(det, rng)
+    _randomize_bn_stats(det, rng)
+
+    img_bev = rng.standard_normal((1, 256, bev, bev)).astype(np.float32)
+    radar_bev = rng.standard_normal((1, 64, bev, bev)).astype(np.float32)
+
+    det.extract_img_feat = lambda img, metas, **kw: (
+        [torch.tensor(img_bev)], None)
+    det.extract_radar_feat = lambda radar, metas: [torch.tensor(radar_bev)]
+    # the glue hardcodes cuda: torch.device("cuda") for masks/shape
+    # tensors, device='cuda' in get_reference_points
+    real_device = torch.device
+    monkeypatch.setattr(
+        torch, "device", lambda *a, **k: real_device("cpu"))
+    orig_ref_pts = mod.BEVDet_RC.get_reference_points
+    monkeypatch.setattr(
+        mod.BEVDet_RC, "get_reference_points",
+        staticmethod(lambda H, W, **k: orig_ref_pts(H, W, device="cpu")),
+    )
+
+    with torch.no_grad():
+        fusion_feats, _, _ = det.extract_feat(
+            points=None, img=None, img_metas=None, radar=None)
+    t_out = fusion_feats[0].numpy()  # [1, 256, bev, bev]
+
+    from rcbevdet_tpu.models.camf import CAMF
+
+    jm = CAMF(imc=256, rac=64, bev_size=bev)
+    j_img = jnp.asarray(np.moveaxis(img_bev, 1, -1))
+    j_radar = jnp.asarray(np.moveaxis(radar_bev, 1, -1))
+    variables = jm.init(jax.random.PRNGKey(0), j_img, j_radar)
+    variables = _convert(det, "", variables, ("camf",))
+    j_out = jm.apply(variables, j_img, j_radar)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(j_out), -1, 1), t_out, **TOL)
