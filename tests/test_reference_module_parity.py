@@ -544,3 +544,66 @@ def test_camf_glue_parity(rng, monkeypatch):
     j_out = jm.apply(variables, j_img, j_radar)
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(j_out), -1, 1), t_out, **TOL)
+
+
+# ------------------------------------------------- temporal alignment glue
+def test_temporal_shift_glue_parity(rng):
+    """Run the REFERENCE BEVDet4D_RC.gen_grid/shift_feature homography
+    chain (bevdet_rc.py:585-657: feat2bev^-1 . bda.c02l0 .
+    (bda_adj.c12l0)^-1 . feat2bev + grid_sample) against
+    models/temporal.py::shift_bev on random SE(3) ego motion."""
+    import types as _types
+
+    mod = refshim.load_bevdet_rc()
+
+    b, c, h, w = 2, 8, 16, 16
+    feat = rng.standard_normal((b, c, h, w)).astype(np.float32)
+
+    def rand_pose(scale_t=1.0):
+        th = rng.uniform(-0.2, 0.2)
+        m = np.tile(np.eye(4, dtype=np.float32), (b, 2, 1, 1))
+        m[..., 0, 0] = np.cos(th)
+        m[..., 0, 1] = -np.sin(th)
+        m[..., 1, 0] = np.sin(th)
+        m[..., 1, 1] = np.cos(th)
+        m[..., :3, 3] = rng.uniform(-scale_t, scale_t, (b, 2, 3))
+        return m
+
+    s2k0 = rand_pose()
+    s2k1 = rand_pose()
+    bda = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    th = rng.uniform(-0.3, 0.3)
+    bda[:, 0, 0] = np.cos(th)
+    bda[:, 0, 1] = -np.sin(th)
+    bda[:, 1, 0] = np.sin(th)
+    bda[:, 1, 1] = np.cos(th)
+    bda_adj = bda.copy()
+    bda_adj[:, 0, 0] *= 1.05  # slightly different adjacent-frame aug
+
+    gi = (1.0, 1.0)
+    glb = (-8.0, -8.0)
+    self_like = _types.SimpleNamespace(
+        grid=None,
+        img_view_transformer=_types.SimpleNamespace(
+            grid_interval=torch.tensor(list(gi)),
+            grid_lower_bound=torch.tensor(list(glb)),
+        ),
+    )
+    self_like.gen_grid = mod.BEVDet4D_RC.gen_grid.__get__(self_like)
+    with torch.no_grad():
+        t_out = mod.BEVDet4D_RC.shift_feature(
+            self_like, torch.tensor(feat),
+            [torch.tensor(s2k0), torch.tensor(s2k1)],
+            torch.tensor(bda), bda_adj=torch.tensor(bda_adj),
+        ).numpy()
+
+    from rcbevdet_tpu.models.temporal import shift_bev
+
+    j_out = shift_bev(
+        jnp.asarray(np.moveaxis(feat, 1, -1)),
+        jnp.asarray(s2k0), jnp.asarray(s2k1), jnp.asarray(bda),
+        grid_lower_bound=glb, grid_interval=gi,
+        bda_adj=jnp.asarray(bda_adj),
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(j_out), -1, 1), t_out, **TOL)
