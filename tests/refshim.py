@@ -638,3 +638,24 @@ def load_bevdet_rc():
             "mmdet3d/models/model_utils/ops/modules/ms_deform_attn.py"
         )
     return _load_by_path("mmdet3d/models/detectors/bevdet_rc.py")
+
+
+def load_bbox_coder():
+    """Load the reference CenterPointBBoxCoder
+    (core/bbox/coders/centerpoint_bbox_coders.py)."""
+    install()
+    mcore_bbox = _module("mmdet.core.bbox")
+
+    class BaseBBoxCoder:
+        def __init__(self, **kw):
+            pass
+
+    if not hasattr(mcore_bbox, "BaseBBoxCoder"):
+        mcore_bbox.BaseBBoxCoder = BaseBBoxCoder
+    bb = _module("mmdet.core.bbox.builder")
+    if not hasattr(bb, "BBOX_CODERS"):
+        bb.BBOX_CODERS = Registry("BBOX_CODERS")
+    mcore_bbox.builder = bb
+    sys.modules["mmdet.core"].bbox = mcore_bbox
+    return _load_by_path(
+        "mmdet3d/core/bbox/coders/centerpoint_bbox_coders.py")

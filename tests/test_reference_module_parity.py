@@ -607,3 +607,161 @@ def test_temporal_shift_glue_parity(rng):
     )
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(j_out), -1, 1), t_out, **TOL)
+
+
+# -------------------------------------------------------- LSS geometry glue
+def test_lss_geometry_parity(rng):
+    """Reference LSSViewTransformer.create_frustum + get_lidar_coor
+    (view_transformer.py:85-157: inverse image aug, un-projection,
+    cam->ego, BDA) vs models/view_transformer.py::create_frustum +
+    frustum_to_ego, on random intrinsics/augs/poses."""
+    import types as _types
+
+    ref_mod = refshim.load_view_transformer()
+
+    depth_cfg = (1.0, 9.0, 0.5)
+    input_size = (64, 96)
+    downsample = 16
+    b, n = 2, 3
+
+    self_like = _types.SimpleNamespace(sid=False)
+    frustum_t = ref_mod.LSSViewTransformer.create_frustum(
+        self_like, depth_cfg, input_size, downsample)
+    self_like.frustum = frustum_t
+
+    s2e = np.tile(np.eye(4, dtype=np.float32), (b, n, 1, 1))
+    for i in range(b):
+        for j in range(n):
+            th = rng.uniform(-np.pi, np.pi)
+            c, s = np.cos(th), np.sin(th)
+            s2e[i, j, :3, :3] = np.array(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            s2e[i, j, :3, 3] = rng.uniform(-2, 2, 3)
+    intr = np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1))
+    intr[..., 0, 0] = rng.uniform(80, 120, (b, n))
+    intr[..., 1, 1] = rng.uniform(80, 120, (b, n))
+    intr[..., 0, 2] = rng.uniform(40, 56, (b, n))
+    intr[..., 1, 2] = rng.uniform(24, 40, (b, n))
+    post_rots = np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1))
+    post_rots[..., 0, 0] = rng.uniform(0.8, 1.2, (b, n))
+    post_rots[..., 1, 1] = rng.uniform(0.8, 1.2, (b, n))
+    post_trans = np.zeros((b, n, 3), np.float32)
+    post_trans[..., :2] = rng.uniform(-8, 8, (b, n, 2))
+    bda = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    th = rng.uniform(-0.4, 0.4)
+    bda[:, 0, 0] = np.cos(th)
+    bda[:, 0, 1] = -np.sin(th)
+    bda[:, 1, 0] = np.sin(th)
+    bda[:, 1, 1] = np.cos(th)
+
+    with torch.no_grad():
+        t_coor = ref_mod.LSSViewTransformer.get_lidar_coor(
+            self_like, torch.tensor(s2e), None, torch.tensor(intr),
+            torch.tensor(post_rots), torch.tensor(post_trans),
+            torch.tensor(bda),
+        ).numpy()
+
+    from rcbevdet_tpu.models.view_transformer import (
+        create_frustum, frustum_to_ego,
+    )
+
+    frustum_j = create_frustum(depth_cfg, input_size, downsample)
+    np.testing.assert_allclose(
+        np.asarray(frustum_j), frustum_t.numpy(), rtol=1e-6, atol=1e-6)
+    j_coor = frustum_to_ego(
+        frustum_j, jnp.asarray(s2e), jnp.asarray(intr),
+        jnp.asarray(post_rots), jnp.asarray(post_trans), jnp.asarray(bda),
+    )
+    np.testing.assert_allclose(np.asarray(j_coor), t_coor,
+                               rtol=1e-3, atol=2e-3)
+
+
+# ------------------------------------------------------- depth supervision
+def test_depth_gt_downsample_parity(rng):
+    """Reference get_downsampled_gt_depth (view_transformer.py:732-768:
+    min-pool of non-zero GT, bin index, one-hot over D+1 dropping bin 0)
+    vs models/view_transformer.py::downsample_gt_depth."""
+    import types as _types
+
+    ref_mod = refshim.load_view_transformer()
+
+    depth_cfg = (1.0, 9.0, 0.5)
+    num_d = int(round((depth_cfg[1] - depth_cfg[0]) / depth_cfg[2]))
+    downsample = 8
+    b, n, h, w = 2, 2, 32, 48
+    gt = np.zeros((b, n, h, w), np.float32)
+    idx = rng.random((b, n, h, w)) < 0.07  # sparse lidar hits
+    gt[idx] = rng.uniform(0.2, 12.0, idx.sum())  # incl. out-of-range depths
+
+    self_like = _types.SimpleNamespace(
+        downsample=downsample, sid=False, D=num_d,
+        grid_config={"depth": depth_cfg},
+    )
+    with torch.no_grad():
+        t_out = ref_mod.LSSViewTransformerBEVDepth.get_downsampled_gt_depth(
+            self_like, torch.tensor(gt)).numpy()
+
+    from rcbevdet_tpu.models.view_transformer import downsample_gt_depth
+
+    j_out = downsample_gt_depth(jnp.asarray(gt), downsample, depth_cfg)
+    np.testing.assert_allclose(
+        np.asarray(j_out).reshape(t_out.shape), t_out, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------- bbox coder
+def test_centerpoint_bbox_coder_decode_parity(rng):
+    """Reference CenterPointBBoxCoder.decode (centerpoint_bbox_coders.py:
+    117-229: per-class topK -> union topK, sub-cell reg, metric scaling,
+    score + center-range filtering) vs core/coders.py::centerpoint_decode
+    (static top-K with validity mask)."""
+    ref_mod = refshim.load_bbox_coder()
+
+    b, num_cls, h, w = 2, 4, 16, 16
+    k = 20
+    pc_range = (-8.0, -8.0)
+    voxel_size = (0.125, 0.125)
+    osf = 8
+    pcr = (-10.0, -10.0, -6.0, 10.0, 10.0, 6.0)
+    thr = 0.1
+
+    heat = 1.0 / (1.0 + np.exp(-rng.standard_normal(
+        (b, num_cls, h, w)).astype(np.float32)))
+    reg = rng.standard_normal((b, 2, h, w)).astype(np.float32) * 0.3
+    hei = rng.standard_normal((b, 1, h, w)).astype(np.float32)
+    dim = np.exp(rng.standard_normal((b, 3, h, w)).astype(np.float32) * 0.3)
+    rots = rng.standard_normal((b, 1, h, w)).astype(np.float32)
+    rotc = rng.standard_normal((b, 1, h, w)).astype(np.float32)
+    vel = rng.standard_normal((b, 2, h, w)).astype(np.float32)
+
+    coder = ref_mod.CenterPointBBoxCoder(
+        pc_range=list(pc_range), out_size_factor=osf,
+        voxel_size=list(voxel_size), post_center_range=list(pcr),
+        max_num=k, score_threshold=thr,
+    )
+    with torch.no_grad():
+        t_dicts = coder.decode(
+            torch.tensor(heat), torch.tensor(rots), torch.tensor(rotc),
+            torch.tensor(hei), torch.tensor(dim), torch.tensor(vel),
+            reg=torch.tensor(reg),
+        )
+
+    from rcbevdet_tpu.core.coders import centerpoint_decode
+
+    nhwc = lambda x: jnp.asarray(np.moveaxis(x, 1, -1))
+    dec = centerpoint_decode(
+        nhwc(heat), nhwc(rots), nhwc(rotc), nhwc(hei), nhwc(dim),
+        nhwc(vel), nhwc(reg),
+        pc_range=pc_range, voxel_size=voxel_size, out_size_factor=osf,
+        post_center_range=pcr, max_num=k, score_threshold=thr,
+    )
+    for i in range(b):
+        v = np.asarray(dec.valid[i])
+        np.testing.assert_allclose(
+            np.asarray(dec.bboxes[i])[v], t_dicts[i]["bboxes"].numpy(),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dec.scores[i])[v], t_dicts[i]["scores"].numpy(),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(dec.labels[i])[v],
+            t_dicts[i]["labels"].numpy().astype(np.int32))
