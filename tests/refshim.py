@@ -355,7 +355,51 @@ def build_bbox_coder(cfg):
     return _AttrDict(cfg)
 
 
+class GaussianFocalLoss(nn.Module):
+    """mmdet GaussianFocalLoss (CornerNet focal on gaussian heatmaps):
+    elementwise pos/neg focal, sum/avg_factor reduction, * loss_weight."""
+
+    def __init__(self, alpha=2.0, gamma=4.0, reduction="mean",
+                 loss_weight=1.0):
+        super().__init__()
+        self.alpha, self.gamma = alpha, gamma
+        self.loss_weight = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        eps = 1e-12
+        pos_weights = target.eq(1).float()
+        neg_weights = (1 - target).pow(self.gamma)
+        pos_loss = -(pred + eps).log() * (1 - pred).pow(self.alpha) \
+            * pos_weights
+        neg_loss = -(1 - pred + eps).log() * pred.pow(self.alpha) \
+            * neg_weights
+        loss = pos_loss + neg_loss
+        if avg_factor is not None:
+            return self.loss_weight * loss.sum() / avg_factor
+        return self.loss_weight * loss.mean()
+
+
+class L1Loss(nn.Module):
+    def __init__(self, reduction="mean", loss_weight=1.0):
+        super().__init__()
+        self.loss_weight = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        loss = (pred - target).abs()
+        if weight is not None:
+            loss = loss * weight
+        if avg_factor is not None:
+            return self.loss_weight * loss.sum() / avg_factor
+        return self.loss_weight * loss.mean()
+
+
 def build_loss(cfg):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    if t == "GaussianFocalLoss":
+        return GaussianFocalLoss(**cfg)
+    if t == "L1Loss":
+        return L1Loss(**cfg)
     return nn.Identity()
 
 

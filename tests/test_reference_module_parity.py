@@ -765,3 +765,129 @@ def test_centerpoint_bbox_coder_decode_parity(rng):
         np.testing.assert_array_equal(
             np.asarray(dec.labels[i])[v],
             t_dicts[i]["labels"].numpy().astype(np.int32))
+
+
+# ------------------------------------------------ CenterHead targets + loss
+def test_centerhead_targets_and_loss_parity(rng):
+    """Reference get_targets_single + loss (centerpoint_head.py:441-683:
+    per-GT gaussian rendering with gaussian_radius, anno-box encoding,
+    clip_sigmoid focal + code-weighted task-split L1) vs
+    core/targets.py::centerpoint_targets_single +
+    models/centerpoint_head.py::centerpoint_loss, with the RC config's
+    loss weights (6.0 / 1.5, config :173-174)."""
+    import types as _types
+
+    ref_mod = refshim.load_centerpoint_head()
+    classes = ["car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian",
+               "traffic_cone"]
+    pc_range = (-8.0, -8.0, -5.0, 8.0, 8.0, 3.0)
+    train_cfg = dict(
+        grid_size=[128, 128, 40], point_cloud_range=list(pc_range),
+        voxel_size=[0.125, 0.125, 0.2], out_size_factor=8,
+        gaussian_overlap=0.1, max_objs=500, dense_reg=1, min_radius=2,
+        code_weights=[1.0] * 10,
+    )
+    tm = ref_mod.CenterHead(
+        in_channels=32,
+        tasks=[dict(num_class=10, class_names=classes)],
+        common_heads=dict(reg=(2, 2), height=(1, 2), dim=(3, 2),
+                          rot=(2, 2), vel=(2, 2)),
+        share_conv_channel=16,
+        bbox_coder=dict(type="CenterPointBBoxCoder", code_size=9),
+        separate_head=dict(type="SeparateHead", init_bias=-2.19,
+                           final_kernel=3),
+        loss_cls=dict(type="GaussianFocalLoss", reduction="mean",
+                      loss_weight=6.0),
+        loss_bbox=dict(type="L1Loss", reduction="mean", loss_weight=1.5),
+        norm_bbox=True,
+        train_cfg=train_cfg,
+        task_specific=True,
+    ).eval()
+
+    n_gt = 5
+    boxes = np.zeros((n_gt, 9), np.float32)
+    boxes[:, 0] = rng.uniform(-7, 7, n_gt)
+    boxes[:, 1] = rng.uniform(-7, 7, n_gt)
+    boxes[:, 2] = rng.uniform(-2, 1, n_gt)  # BOTTOM z (LiDAR box format)
+    boxes[:, 3:6] = rng.uniform(0.5, 4.0, (n_gt, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_gt)
+    boxes[:, 7:9] = rng.uniform(-2, 2, (n_gt, 2))
+    labels = rng.integers(0, 10, n_gt)
+
+    # LiDARInstance3DBoxes stand-in: gravity_center = bottom z + dz/2
+    grav = boxes.copy()
+    grav_z = boxes[:, 2] + boxes[:, 5] / 2.0
+    gt_obj = _types.SimpleNamespace(
+        gravity_center=torch.tensor(
+            np.stack([boxes[:, 0], boxes[:, 1], grav_z], -1)),
+        tensor=torch.tensor(boxes),
+    )
+    heatmaps, anno_boxes, inds, masks = tm.get_targets(
+        [gt_obj], [torch.tensor(labels.astype(np.int64))])
+
+    from rcbevdet_tpu.core.targets import centerpoint_targets_single
+
+    grav[:, 2] = grav_z  # my renderer takes gravity-centered boxes
+    t = centerpoint_targets_single(
+        grav, labels.astype(np.int32), num_classes=10,
+        grid_size=(128, 128), point_cloud_range=pc_range,
+        voxel_size=(0.125, 0.125), out_size_factor=8,
+        gaussian_overlap=0.1, min_radius=2, max_objs=500,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t.heatmap), heatmaps[0][0].numpy(), rtol=1e-5, atol=1e-5)
+    # the reference reorders GTs class-by-class (task_masks via torch.where
+    # per class); slot order is immaterial to the loss — compare as sets
+    # keyed by the (unique) heatmap index
+    n_ref = int(masks[0][0].sum())
+    assert int(np.asarray(t.mask).sum()) == n_ref
+    ref_order = np.argsort(inds[0][0].numpy()[:n_ref])
+    my_order = np.argsort(np.asarray(t.inds)[:n_ref])
+    np.testing.assert_array_equal(
+        np.asarray(t.inds)[:n_ref][my_order],
+        inds[0][0].numpy()[:n_ref][ref_order])
+    np.testing.assert_allclose(
+        np.asarray(t.anno_box)[:n_ref][my_order],
+        anno_boxes[0][0].numpy()[:n_ref][ref_order], rtol=1e-5, atol=1e-5)
+
+    # ------- loss on random predictions
+    b, h, w = 1, 16, 16
+    preds_t = {
+        "heatmap": torch.tensor(
+            rng.standard_normal((b, 10, h, w)).astype(np.float32)),
+        "reg": torch.tensor(
+            rng.standard_normal((b, 2, h, w)).astype(np.float32)),
+        "height": torch.tensor(
+            rng.standard_normal((b, 1, h, w)).astype(np.float32)),
+        "dim": torch.tensor(
+            rng.standard_normal((b, 3, h, w)).astype(np.float32)),
+        "rot": torch.tensor(
+            rng.standard_normal((b, 2, h, w)).astype(np.float32)),
+        "vel": torch.tensor(
+            rng.standard_normal((b, 2, h, w)).astype(np.float32)),
+    }
+    # snapshot BEFORE the reference loss: its clip_sigmoid mutates the
+    # heatmap pred in place (x.sigmoid_(), models/utils/clip_sigmoid.py)
+    preds_j = {k: jnp.asarray(np.moveaxis(v.numpy().copy(), 1, -1))
+               for k, v in preds_t.items()}
+    with torch.no_grad():
+        t_losses = tm.loss([gt_obj], [torch.tensor(labels.astype(np.int64))],
+                           [[dict(preds_t)]])
+
+    from rcbevdet_tpu.models.centerpoint_head import centerpoint_loss
+
+    j_losses = centerpoint_loss(
+        preds_j,
+        jnp.asarray(t.heatmap)[None],
+        jnp.asarray(t.anno_box)[None],
+        jnp.asarray(t.inds)[None],
+        jnp.asarray(t.mask)[None].astype(jnp.float32),
+        code_weights=tuple(train_cfg["code_weights"]),
+        cls_weight=6.0, bbox_weight=1.5,
+    )
+    for name in ("heatmap", "xy", "z", "whl", "yaw", "vel"):
+        ref_key = f"task0.loss_{name}"
+        np.testing.assert_allclose(
+            float(j_losses[f"loss_{name}"]), float(t_losses[ref_key]),
+            rtol=1e-4, err_msg=name)
