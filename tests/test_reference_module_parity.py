@@ -891,3 +891,45 @@ def test_centerhead_targets_and_loss_parity(rng):
         np.testing.assert_allclose(
             float(j_losses[f"loss_{name}"]), float(t_losses[ref_key]),
             rtol=1e-4, err_msg=name)
+
+
+def test_depth_loss_parity(rng):
+    """Reference get_depth_loss (view_transformer.py:770-784: BCE over
+    foreground depth bins / max(1, num_fg) * weight) vs
+    models/view_transformer.py::depth_loss."""
+    import types as _types
+
+    ref_mod = refshim.load_view_transformer()
+
+    depth_cfg = (1.0, 9.0, 0.5)
+    num_d = int(round((depth_cfg[1] - depth_cfg[0]) / depth_cfg[2]))
+    downsample = 8
+    b, n, h, w = 2, 2, 32, 48
+    gt = np.zeros((b, n, h, w), np.float32)
+    idx = rng.random((b, n, h, w)) < 0.07
+    gt[idx] = rng.uniform(0.2, 12.0, idx.sum())
+    # softmax depth predictions [B*N, D, hf, wf]
+    logits = rng.standard_normal(
+        (b * n, num_d, h // downsample, w // downsample)).astype(np.float32)
+    pred = torch.softmax(torch.tensor(logits), dim=1)
+
+    self_like = _types.SimpleNamespace(
+        downsample=downsample, sid=False, D=num_d,
+        grid_config={"depth": depth_cfg}, loss_depth_weight=3.0,
+        get_downsampled_gt_depth=None,
+    )
+    self_like.get_downsampled_gt_depth = (
+        ref_mod.LSSViewTransformerBEVDepth.get_downsampled_gt_depth
+        .__get__(self_like))
+    with torch.no_grad():
+        t_loss = float(ref_mod.LSSViewTransformerBEVDepth.get_depth_loss(
+            self_like, torch.tensor(gt), pred))
+
+    from rcbevdet_tpu.models.view_transformer import depth_loss
+
+    j_pred = jnp.asarray(
+        np.moveaxis(pred.numpy(), 1, -1).reshape(
+            b, n, h // downsample, w // downsample, num_d))
+    j_loss = float(depth_loss(jnp.asarray(gt), j_pred, downsample,
+                              depth_cfg, weight=3.0))
+    np.testing.assert_allclose(j_loss, t_loss, rtol=1e-5)
