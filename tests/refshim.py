@@ -703,3 +703,17 @@ def load_bbox_coder():
     sys.modules["mmdet.core"].bbox = mcore_bbox
     return _load_by_path(
         "mmdet3d/core/bbox/coders/centerpoint_bbox_coders.py")
+
+
+def load_radar_points():
+    """Load the reference RadarPoints (core/points/radar_points.py) with
+    its real base class and rotation utils (loaded verbatim)."""
+    install()
+    ac = _load_by_path("mmdet3d/core/utils/array_converter.py")
+    cu = _module("mmdet3d.core.utils")
+    cu.array_converter = ac.array_converter
+    _load_by_path("mmdet3d/core/bbox/structures/utils.py")
+    su = sys.modules["mmdet3d.core.bbox.structures.utils"]
+    _module("mmdet3d.core.bbox.structures").utils = su
+    _load_by_path("mmdet3d/core/points/base_points.py")
+    return _load_by_path("mmdet3d/core/points/radar_points.py")

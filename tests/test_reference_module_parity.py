@@ -933,3 +933,38 @@ def test_depth_loss_parity(rng):
     j_loss = float(depth_loss(jnp.asarray(gt), j_pred, downsample,
                               depth_cfg, weight=3.0))
     np.testing.assert_allclose(j_loss, t_loss, rtol=1e-5)
+
+
+# --------------------------------------------------------- radar BDA aug
+def test_radar_points_bda_parity(rng):
+    """Reference GlobalRotScaleTrans_radar order (rotate -> scale -> flip,
+    transforms_3d.py:959-966) over the real RadarPoints ops
+    (radar_points.py:29-99: velocities in dims 3:5 rotate/scale/flip with
+    the points, degrees->radians quirk) vs core/boxes.py::bda_matrix +
+    transform_radar_points_bda."""
+    ref_mod = refshim.load_radar_points()
+
+    n = 40
+    pts = rng.standard_normal((n, 7)).astype(np.float32) * 4.0
+    rot_deg = float(rng.uniform(-22.5, 22.5))
+    scale = float(rng.uniform(0.95, 1.05))
+    for flip_dx in (False, True):
+        for flip_dy in (False, True):
+            rp = ref_mod.RadarPoints(
+                torch.tensor(pts.copy()), points_dim=7)
+            rp.rotate(rot_deg / 180.0 * np.pi)   # _rot_bbox_points
+            rp.scale(scale)                      # _scale_bbox_points
+            if flip_dx:                          # _flip_bbox_points
+                rp.flip("vertical")
+            if flip_dy:
+                rp.flip("horizontal")
+            t_out = rp.tensor.numpy()
+
+            from rcbevdet_tpu.core.boxes import (
+                bda_matrix, transform_radar_points_bda,
+            )
+
+            bda = bda_matrix(rot_deg, scale, flip_dx, flip_dy)
+            j_out = transform_radar_points_bda(pts.copy(), bda)
+            np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{flip_dx} {flip_dy}")
