@@ -53,6 +53,27 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
 
 
 def build_model(cfg: Config) -> tuple:
+    """Build the detector named by ``cfg.model['type']`` (the reference's
+    ``DETECTORS.build`` analog; defaults to the RCBEVDet family — all the
+    shipped rcbevdet/det configs — with RCBEVDetPlusPlus selectable for
+    the sparse-query decoder family)."""
+    mtype = cfg.model.get("type", "RCBEVDet")
+    if mtype == "RCBEVDetPlusPlus":
+        from .models.rcbevdetpp import RCBEVDetPlusPlus
+
+        m = cfg.model
+        model = RCBEVDetPlusPlus(
+            dim=m.get("dim", 256),
+            num_queries=m.get("num_queries", 200),
+            num_layers=m.get("num_layers", 3),
+            num_classes=m.get("num_classes", 10),
+            num_points=m.get("num_points", 8),
+            depth=m.get("resnet_depth", 50),
+            point_cloud_range=tuple(
+                m.get("point_cloud_range", cfg.point_cloud_range)
+            ),
+        )
+        return model, None
     mc = build_model_config(cfg)
     return RCBEVDet(mc), mc
 

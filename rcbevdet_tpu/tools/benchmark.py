@@ -87,12 +87,51 @@ def main(argv=None):
         cfg.model["compute_dtype"] = "bfloat16"
     model, mcfg = build_model(cfg)
     rng = np.random.default_rng(0)
-    full = _example_batch(mcfg, b=args.batch_size, rng=rng)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jax.tree_util.tree_map(lambda x: x[:1], full), train=False,
-    )
-    if args.dtype == "bfloat16":
+    if mcfg is None:  # RCBEVDetPlusPlus: (imgs, lidar2img) interface
+        if args.mode != "full":
+            p.error("RCBEVDetPlusPlus supports --mode full only")
+        b = args.batch_size
+        h, w = tuple(cfg.data_config["input_size"])
+        n_cams = len(cfg.data_config["cams"])
+        imgs = jnp.asarray(
+            rng.standard_normal((b, n_cams, h, w, 3)), jnp.float32
+        )
+        l2i = np.tile(np.eye(4, dtype=np.float32), (b, n_cams, 1, 1))
+        l2i[..., 0, 0] = l2i[..., 1, 1] = 500.0
+        l2i[..., 0, 2] = w / 2
+        l2i[..., 1, 2] = h / 2
+        l2i = jnp.asarray(l2i)
+        variables = model.init(
+            jax.random.PRNGKey(0), imgs[:1], l2i[:1], (h, w)
+        )
+        if args.dtype == "bfloat16":
+            variables = {
+                "params": jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x,
+                    variables["params"],
+                ),
+                "batch_stats": variables["batch_stats"],
+            }
+            imgs = imgs.astype(jnp.bfloat16)
+
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options()
+        )
+        def step_pp(variables, imgs, l2i):
+            outs = model.apply(variables, imgs, l2i, (h, w), train=False)
+            return outs[-1]  # final decoder layer (logits, boxes)
+
+        fn = lambda: step_pp(variables, imgs, l2i)
+        mode_fn = fn
+    else:
+        mode_fn = None
+        full = _example_batch(mcfg, b=args.batch_size, rng=rng)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jax.tree_util.tree_map(lambda x: x[:1], full), train=False,
+        )
+    if args.dtype == "bfloat16" and mode_fn is None:
         # bench.py casting rules: bf16 params (f32 masters are a training
         # concern) + bf16 image inputs; BN stats stay f32
         variables = {
@@ -105,7 +144,9 @@ def main(argv=None):
         }
         full = dict(full, imgs=full["imgs"].astype(jnp.bfloat16))
 
-    if args.mode == "train":
+    if mode_fn is not None:
+        fn = mode_fn
+    elif args.mode == "train":
         from ..training.train_step import (
             create_train_state, make_optimizer, make_train_step,
         )
@@ -251,7 +292,7 @@ def main(argv=None):
         )
         result["ms_per_step"] = round(1000 * dt / args.iters, 3)
         result["batch_size"] = args.batch_size
-    if args.flops and args.mode != "train":
+    if args.flops and args.mode != "train" and mode_fn is None:
         if args.mode == "full":
             cost = flops_of(
                 lambda v, b: model.apply(v, b, train=False), variables, full
