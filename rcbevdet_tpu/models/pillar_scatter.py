@@ -17,17 +17,79 @@ from flax import linen as nn
 from .layers import BatchNorm
 
 
+class _RCSAtt(nn.Module):
+    """1x1 conv over the stacked [heat, feat] RCS maps, computed
+    elementwise.
+
+    Param tree matches ``nn.Conv(features, (1, 1))`` exactly (kernel
+    [1, 1, 2, C] + bias [C]) so reference-checkpoint conversion is
+    unchanged — but a [B, ny, nx, 2] input tensor is never materialized:
+    minor-dim 2 lane-pads to 128 on TPU (64x HBM amplification over a
+    512x512 canvas).  The multiply-add runs in f32 (the maps are f32 from
+    the Pallas render), at least as accurate as the bf16 conv it replaces.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, heat, feat):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, 2, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel[0, 0].astype(jnp.float32)
+        return (
+            heat[..., None] * k[0] + feat[..., None] * k[1] + bias
+        )
+
+
 def scatter_pillars(pillar_feats, coors, pillar_mask, ny, nx):
-    """[P, C] pillar features -> [ny, nx, C] canvas (one sample)."""
+    """[P, C] pillar features -> [ny, nx, C] canvas (one sample).
+
+    Invalid pillars are routed to an out-of-bounds row and dropped by the
+    scatter itself (mode="drop") — no trash row, so no [ny*nx, C] slice
+    copy of the canvas afterwards, and no masked-zero write either.
+    """
     p, c = pillar_feats.shape
     flat = jnp.where(
-        pillar_mask, coors[:, 1] * nx + coors[:, 2], ny * nx
+        pillar_mask, coors[:, 1] * nx + coors[:, 2], jnp.int32(1 << 30)
     ).astype(jnp.int32)
-    canvas = jnp.zeros((ny * nx + 1, c), pillar_feats.dtype)
-    canvas = canvas.at[flat].set(
-        jnp.where(pillar_mask[:, None], pillar_feats, 0.0), mode="drop"
-    )
-    return canvas[: ny * nx].reshape(ny, nx, c)
+    canvas = jnp.zeros((ny * nx, c), pillar_feats.dtype)
+    canvas = canvas.at[flat].set(pillar_feats, mode="drop")
+    return canvas.reshape(ny, nx, c)
+
+
+class _SplitConcatConv(nn.Module):
+    """``nn.Conv(C, 3x3)(concat([a, b], -1))`` as a kernel-sliced sum.
+
+    conv(concat(a, b), W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:]),
+    so the [B, ny, nx, 2C] concat is never materialized over the 512x512
+    canvas.  Param tree matches ``nn.Conv`` (kernel [3, 3, 2C, C] + bias)
+    so reference-checkpoint conversion is unchanged.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, ca + cb, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = jax.lax.conv_general_dilated(
+            a, kernel[:, :, :ca].astype(a.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn,
+        ) + jax.lax.conv_general_dilated(
+            b, kernel[:, :, ca:].astype(b.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn,
+        )
+        return out + bias.astype(out.dtype)
 
 
 class PointPillarsScatterRCS(nn.Module):
@@ -84,14 +146,13 @@ class PointPillarsScatterRCS(nn.Module):
         seed_v = jnp.stack([s[1] for s in seeds])
         heat, feat = render_rcs_maps_pallas(seed_r, seed_v, self.r_max)
 
-        # the RCS maps render in f32 (exp/EDT math); cast at this boundary
+        # elementwise 1x1 "conv" over the two f32 maps (no [B, ny, nx, 2]
+        # stack: minor-dim 2 lane-pads 64x on TPU); cast at this boundary
         # or the concat below upcasts the whole radar canvas and everything
         # after it to f32 under bf16 activations
-        rcs_in = jnp.stack([heat, feat], axis=-1).astype(
-            pillar_feats.dtype
-        )  # [B, ny, nx, 2]
-        rcs_att = nn.Conv(self.in_channels, (1, 1), name="rcs_att")(rcs_in)
-        out = nn.Conv(
-            self.in_channels, (3, 3), padding=((1, 1), (1, 1)), name="compress"
-        )(jnp.concatenate([features, rcs_att], axis=-1))
+        rcs_att = _RCSAtt(self.in_channels, name="rcs_att")(heat, feat)
+        rcs_att = rcs_att.astype(pillar_feats.dtype)
+        out = _SplitConcatConv(self.in_channels, name="compress")(
+            features, rcs_att
+        )
         return out
