@@ -23,7 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.deform_attn import ms_deform_attn_core
-from .layers import BatchNorm
+from .layers import BatchNorm, ConvKernel, conv_bn_relu_3x3
 
 
 def _ring_bias_init(n_heads, n_levels, n_points):
@@ -135,26 +135,18 @@ class RadarConvFuser(nn.Module):
     deconv_blocks: int = 3
 
     @nn.compact
-    def __call__(self, a, b, train=False, update_stats=True):
+    def __call__(self, a, b, train=False, update_stats=True, fast=False):
         res = jnp.concatenate([a, b], axis=-1)
-        out = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            use_bias=False, name="fuse_conv",
-        )(res)
-        out = BatchNorm(name="fuse_bn")(
-            out, use_running_average=not train, update_stats=update_stats
-        )
-        out = nn.relu(out)
+        k = ConvKernel((3, 3, res.shape[-1], self.out_channels),
+                       name="fuse_conv")()
+        out = conv_bn_relu_3x3(res, k, BatchNorm(name="fuse_bn"),
+                               train, update_stats, fast)
         out = jnp.concatenate([out, res], axis=-1)
         for i in range(self.deconv_blocks):
-            out = nn.Conv(
-                self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                use_bias=False, name=f"deconv{i}_conv",
-            )(out)
-            out = BatchNorm(name=f"deconv{i}_bn")(
-                out, use_running_average=not train, update_stats=update_stats
-            )
-            out = nn.relu(out)
+            k = ConvKernel((3, 3, out.shape[-1], self.out_channels),
+                           name=f"deconv{i}_conv")()
+            out = conv_bn_relu_3x3(out, k, BatchNorm(name=f"deconv{i}_bn"),
+                                   train, update_stats, fast)
         return out
 
 
@@ -169,18 +161,18 @@ class CAMF(nn.Module):
     bev_size: int = 128
 
     @nn.compact
-    def __call__(self, img_bev, radar_bev, train=False, update_stats=True):
+    def __call__(self, img_bev, radar_bev, train=False, update_stats=True,
+                 fast=False):
         b, h, w, _ = img_bev.shape
 
         # radar 384 -> 256 (ConvModule 3x3 + BN(eps 1e-3, mom 0.01) + ReLU)
-        r = nn.Conv(
-            self.imc, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-            name="radar_reduc_conv",
-        )(radar_bev)
-        r = BatchNorm(momentum=0.01, epsilon=1e-3, name="radar_reduc_bn")(
-            r, use_running_average=not train, update_stats=update_stats
+        kr = ConvKernel((3, 3, radar_bev.shape[-1], self.imc),
+                        name="radar_reduc_conv")()
+        r = conv_bn_relu_3x3(
+            radar_bev, kr,
+            BatchNorm(momentum=0.01, epsilon=1e-3, name="radar_reduc_bn"),
+            train, update_stats, fast,
         )
-        r = nn.relu(r)
 
         radar_seq = r.reshape(b, h * w, self.imc)
         img_seq = img_bev.reshape(b, h * w, self.imc)
@@ -204,5 +196,5 @@ class CAMF(nn.Module):
         f1 = f1.reshape(b, h, w, self.imc)
         f2 = f2.reshape(b, h, w, self.imc)
         return RadarConvFuser(self.imc, 3, name="fuser")(
-            f1, f2, train=train, update_stats=update_stats
+            f1, f2, train=train, update_stats=update_stats, fast=fast
         )

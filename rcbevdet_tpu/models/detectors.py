@@ -220,7 +220,7 @@ class CameraBEVBranch(nn.Module):
 
     def __call__(self, imgs, sensor2keyegos, intrins, post_rots, post_trans,
                  bda, cost_volume=None, train=False, update_stats=True,
-                 pool_meta=None):
+                 pool_meta=None, fast=False):
         """imgs: [B, N, H, W, 3]; geometry per camera. Returns (bev, depth)."""
         c = self.cfg
         b, n, h, w, _ = imgs.shape
@@ -237,7 +237,8 @@ class CameraBEVBranch(nn.Module):
             cost_volume=cost_volume, train=train, update_stats=update_stats,
             pool_meta=pool_meta,
         )
-        bev = self.pre_process(bev, train=train, update_stats=update_stats)[0]
+        bev = self.pre_process(bev, train=train, update_stats=update_stats,
+                               fast=fast)[0]
         return bev, depth
 
 
@@ -503,7 +504,7 @@ class RCBEVDet(nn.Module):
 
         key_bev, _ = self.camera(
             imgs, s2k, intr, pr, pt, bda, train=False, update_stats=False,
-            pool_meta=pool_meta,
+            pool_meta=pool_meta, fast=True,
         )
         b, ny, nx, ch = key_bev.shape
         f1 = prev_bev.shape[1]
@@ -520,13 +521,15 @@ class RCBEVDet(nn.Module):
         shifted = shifted.reshape(b, f1, ny, nx, ch)
         shifted = jnp.moveaxis(shifted, 1, 3).reshape(b, ny, nx, f1 * ch)
         bev = jnp.concatenate([key_bev, shifted], axis=-1)
-        feats = self.bev_backbone(bev, train=False, update_stats=False)
-        x = self.bev_neck(feats, train=False, update_stats=False)
+        feats = self.bev_backbone(bev, train=False, update_stats=False,
+                                  fast=True)
+        x = self.bev_neck(feats, train=False, update_stats=False,
+                          fast=True)
         if self.cfg.use_radar:
             radar_bev = self.extract_radar_feat(
                 batch["radar_points"], batch["radar_mask"], train=False
             )
-            x = self.camf(x, radar_bev, train=False)
+            x = self.camf(x, radar_bev, train=False, fast=True)
         preds = self.head(x, train=False)
         return preds, key_bev
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.warp import bilinear_resize, nearest_resize
-from .layers import BatchNorm
+from .layers import BatchNorm, ConvKernel, conv_bn_relu_3x3
 
 
 class CustomFPN(nn.Module):
@@ -52,8 +52,7 @@ class FPN_LSS(nn.Module):
     input_feature_index: Sequence[int] = (0, 2)
 
     @nn.compact
-    def __call__(self, feats, train=False, update_stats=True):
-        bn = lambda name: BatchNorm(name=name)
+    def __call__(self, feats, train=False, update_stats=True, fast=False):
         x2 = feats[self.input_feature_index[0]]
         x1 = feats[self.input_feature_index[1]]
         h, w = x2.shape[1:3]
@@ -61,29 +60,23 @@ class FPN_LSS(nn.Module):
         x = jnp.concatenate([x2, x1], axis=-1)
 
         cf = 2 if self.extra_upsample else 1
-        x = nn.Conv(
-            self.out_channels * cf, (3, 3), padding=((1, 1), (1, 1)),
-            use_bias=False, name="conv1",
-        )(x)
-        x = bn("bn1")(x, use_running_average=not train, update_stats=update_stats)
-        x = nn.relu(x)
-        x = nn.Conv(
-            self.out_channels * cf, (3, 3), padding=((1, 1), (1, 1)),
-            use_bias=False, name="conv2",
-        )(x)
-        x = bn("bn2")(x, use_running_average=not train, update_stats=update_stats)
-        x = nn.relu(x)
+        k1 = ConvKernel((3, 3, x.shape[-1], self.out_channels * cf),
+                        name="conv1")()
+        x = conv_bn_relu_3x3(x, k1, BatchNorm(name="bn1"),
+                             train, update_stats, fast)
+        k2 = ConvKernel((3, 3, x.shape[-1], self.out_channels * cf),
+                        name="conv2")()
+        x = conv_bn_relu_3x3(x, k2, BatchNorm(name="bn2"),
+                             train, update_stats, fast)
         if self.extra_upsample:
             x = bilinear_resize(
                 x, h * self.extra_upsample, w * self.extra_upsample,
                 align_corners=True,
             )
-            x = nn.Conv(
-                self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                use_bias=False, name="up2_conv",
-            )(x)
-            x = bn("up2_bn")(x, use_running_average=not train, update_stats=update_stats)
-            x = nn.relu(x)
+            k3 = ConvKernel((3, 3, x.shape[-1], self.out_channels),
+                            name="up2_conv")()
+            x = conv_bn_relu_3x3(x, k3, BatchNorm(name="up2_bn"),
+                                 train, update_stats, fast)
             x = nn.Conv(self.out_channels, (1, 1), name="up2_out")(x)
         return x
 

@@ -38,7 +38,8 @@ class BatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, use_running_average, update_stats=True, mask=None):
+    def __call__(self, x, use_running_average, update_stats=True, mask=None,
+                 fold=False):
         c = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
@@ -48,6 +49,13 @@ class BatchNorm(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if fold:
+            # inference-folded affine: (scale', bias') such that
+            # x * scale' + bias' == BN(x, use_running_average=True);
+            # feeds the fused conv+BN Pallas path (ops/conv_pallas.py)
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return inv, bias - ra_mean.value * inv
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -81,6 +89,61 @@ class BatchNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         out = (x.astype(jnp.float32) - mean) * inv + bias
         return out.astype(x.dtype)
+
+class ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder.
+
+    Declares exactly the pytree of ``nn.Conv(use_bias=False, name=...)``
+    (one ``kernel`` param, lecun-normal init) but RETURNS the kernel value
+    so call sites can route the compute through the fused Pallas conv
+    (ops/conv_pallas.py) at inference while keeping checkpoint paths and
+    the torch name map unchanged."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
+class ConvKernelBias(nn.Module):
+    """``nn.Conv(use_bias=True)`` pytree (kernel + bias), values returned."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+def conv_bn_relu_3x3(x, kernel, bn, train=False, update_stats=True,
+                     fast=False):
+    """3x3 same-conv + BN + ReLU over a declared ``ConvKernel`` value and
+    ``BatchNorm`` module.
+
+    ``fast=True`` (inference only) folds the running-stat BN affine into
+    the conv epilogue and runs the fused Pallas kernel
+    (ops/conv_pallas.py) — the in-graph XLA conv at BEV shapes pays a ~3x
+    layout penalty (round-2 profile).  Training / CPU use the
+    identical-math XLA path."""
+    if fast and not train:
+        from ..ops.conv_pallas import conv3x3_bn_act_auto
+
+        cb = jnp.zeros((1, 1, 1, kernel.shape[-1]), x.dtype)
+        scale, bias = bn(cb, True, fold=True)
+        return conv3x3_bn_act_auto(x, kernel, scale, bias, act="relu")
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = bn(y, use_running_average=not train, update_stats=update_stats)
+    return nn.relu(y)
 
 
 class Conv(nn.Module):
@@ -156,10 +219,47 @@ class BasicBlock(nn.Module):
     bn_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train=False, update_stats=True):
+    def __call__(self, x, train=False, update_stats=True, fast=False):
         bn = lambda name: BatchNorm(
             momentum=self.bn_momentum, epsilon=self.bn_eps, name=name
         )
+        # the fused Pallas path covers exactly the CustomResNet flavor of
+        # this block (3x3 convs, bare-conv-3x3 shortcut) — the BEV-encoder
+        # hot set; image-backbone variants keep the XLA path
+        fast = (
+            fast and not train and self.stride in (1, 2)
+            and (not self.downsample
+                 or (self.downsample_conv_only
+                     and self.downsample_kernel == 3))
+            and x.shape[1] % (2 * self.stride) == 0
+            and x.shape[2] % (2 * self.stride) == 0
+        )
+        if fast:
+            from ..ops.conv_pallas import conv3x3_bn_act_auto as conv3x3_bn_act
+
+            f = self.features
+            k1 = ConvKernel((3, 3, x.shape[-1], f), name="conv1")()
+            s1, b1 = bn("bn1")(
+                jnp.zeros((1, 1, 1, f), x.dtype), True, fold=True
+            )
+            k2 = ConvKernel((3, 3, f, f), name="conv2")()
+            s2, b2 = bn("bn2")(
+                jnp.zeros((1, 1, 1, f), x.dtype), True, fold=True
+            )
+            if self.downsample:
+                kd, bd = ConvKernelBias(
+                    (3, 3, x.shape[-1], f), name="downsample"
+                )()
+                identity = conv3x3_bn_act(
+                    x, kd, jnp.ones((f,), jnp.float32), bd, act=None,
+                    stride=self.stride,
+                )
+            else:
+                identity = x
+            out = conv3x3_bn_act(x, k1, s1, b1, act="relu",
+                                 stride=self.stride)
+            return conv3x3_bn_act(out, k2, s2, b2, act="relu",
+                                  residual=identity)
         identity = x
         out = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),

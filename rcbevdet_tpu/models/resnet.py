@@ -77,7 +77,7 @@ class CustomResNet(nn.Module):
     backbone_output_ids: Sequence[int] | None = None
 
     @nn.compact
-    def __call__(self, x, train=False, update_stats=True):
+    def __call__(self, x, train=False, update_stats=True, fast=False):
         out_ids = (
             tuple(range(len(self.num_layer)))
             if self.backbone_output_ids is None
@@ -92,7 +92,7 @@ class CustomResNet(nn.Module):
                     downsample=(j == 0),
                     downsample_conv_only=True,  # bare-conv shortcut (resnet.py:55-60)
                     name=f"layer{i}_{j}",
-                )(x, train=train, update_stats=update_stats)
+                )(x, train=train, update_stats=update_stats, fast=fast)
             if i in out_ids:
                 feats.append(x)
         return feats

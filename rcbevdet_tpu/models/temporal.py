@@ -85,7 +85,8 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     g = jnp.stack([gx, gy], -1)  # [B, H, W, 2]
     warp = jax.checkpoint(
         lambda f, gg: grid_sample_2d_packed(
-            f, gg, align_corners=True, split_batch_gather=fast_inference
+            f, gg, align_corners=True, split_batch_gather=fast_inference,
+            pallas_combine=fast_inference,
         )
     )
     out = warp(feat, g)

@@ -1,0 +1,207 @@
+"""Fused 3x3 conv (+BN affine, +residual, +activation) Pallas TPU kernels.
+
+Why this exists: XLA's conv lowering for this model's BEV-resolution convs
+(128x128 NHWC, 80-768 input channels) runs at 3-30x its isolated time when
+embedded in the full inference graph — the layouts its neighbors force on
+the conv's input/output make XLA pick slow convolution strategies, and
+optimization barriers don't help (round-2 profile: up2_conv 1.18 ms,
+radar_reduc 0.82 ms; converting those moved the penalty onto the adjacent
+CustomResNet blocks, so the whole BEV-resolution conv set routes through
+these kernels on the inference fast path).  A Pallas kernel pins standard
+layouts at its boundary and runs the conv as shifted MXU matmuls, with
+the inference BatchNorm affine, the residual add and the activation fused
+into the epilogue.
+
+Stride-1 formulation (per batch row, per row-tile of the output):
+
+    x_pad   : [H+3, W+2, Cin]  (zero-padded input, resident in VMEM)
+    flat    : rows r0 .. r0+tile_h+3 flattened to [(tile_h+3)*(W+2), Cin]
+    out[r]  = sum_{ky,kx} flat[r + ky*(W+2) + kx] @ K[ky, kx]
+
+i.e. keeping the output in the PADDED-width frame makes every kernel tap a
+pure row shift of one flattened [rows, Cin] tile — 9 clean MXU matmuls, no
+im2col.  The junk columns per row (where the window wraps) are sliced away
+when writing the [tile_h, W, Cout] output block.
+
+Stride-2 formulation: view the padded row slab as even/odd row and column
+phases ([th+2, 2, Wp/2, 2, C]); each tap (ky, kx) is then the unit-stride
+slice (rows ky>>1 .., phase ky&1, cols kx>>1 .., phase kx&1) — again 9
+clean matmuls, never a strided VMEM access.
+
+Used on the inference fast path only (forward_cached / serving /
+benchmark); training and CPU runs use the identical-math XLA fallback.
+Reference analog: torch Conv2d+BN2d+ReLU modules (bevdet_rc.py:28-65
+RadarConvFuser, :132 radar_reduc_conv; BasicBlocks of
+models/backbones/resnet.py) fused by `fuse_conv_bn` in the reference
+benchmark (tools/analysis_tools/benchmark_sequential.py:66).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _epilogue(acc, s_ref, b_ref, r_ref, act, o_ref):
+    y = acc * s_ref[0][None, None, :] + b_ref[0][None, None, :]
+    if r_ref is not None:
+        y = y + r_ref[0].astype(jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _conv_kernel(x_ref, w_ref, s_ref, b_ref, *rest, tile_h, w_out, act,
+                 has_res):
+    r_ref, o_ref = (rest[0], rest[1]) if has_res else (None, rest[0])
+    wpad = w_out + 2
+    cin = x_ref.shape[-1]
+    cout = o_ref.shape[-1]
+    r0 = pl.program_id(1) * tile_h
+    # tile_h+3 rows: the flattened tap offsets reach up to
+    # (tile_h+2)*wpad + 2 (the junk columns of the last row under the
+    # (ky=2, kx=2) tap), which needs one row beyond the true 3x3 halo
+    rows = x_ref[0, pl.dslice(r0, tile_h + 3)]  # [tile_h+3, W+2, Cin]
+    flat = rows.reshape((tile_h + 3) * wpad, cin)
+    rlen = tile_h * wpad
+    prec = (jax.lax.Precision.HIGHEST
+            if x_ref.dtype == jnp.float32 else None)
+    acc = jnp.zeros((rlen, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            off = ky * wpad + kx
+            acc = acc + jax.lax.dot_general(
+                flat[off : off + rlen], w_ref[ky, kx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+    acc = acc.reshape(tile_h, wpad, cout)[:, :w_out]
+    _epilogue(acc, s_ref, b_ref, r_ref, act, o_ref)
+
+
+def _conv_s2_kernel(x_ref, w_ref, s_ref, b_ref, *rest, tile_h, w_out, act,
+                    has_res):
+    r_ref, o_ref = (rest[0], rest[1]) if has_res else (None, rest[0])
+    cin = x_ref.shape[-1]
+    cout = o_ref.shape[-1]
+    wp2 = x_ref.shape[-2] // 2  # (W+2)/2
+    r0 = pl.program_id(1) * tile_h * 2
+    rows = x_ref[0, pl.dslice(r0, 2 * tile_h + 4)]  # [2*th+4, W+2, Cin]
+    ph = rows.reshape(tile_h + 2, 2, wp2, 2, cin)
+    prec = (jax.lax.Precision.HIGHEST
+            if x_ref.dtype == jnp.float32 else None)
+    acc = jnp.zeros((tile_h * w_out, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            tap = ph[
+                ky >> 1 : (ky >> 1) + tile_h, ky & 1,
+                kx >> 1 : (kx >> 1) + w_out, kx & 1,
+            ].reshape(tile_h * w_out, cin)
+            acc = acc + jax.lax.dot_general(
+                tap, w_ref[ky, kx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+    acc = acc.reshape(tile_h, w_out, cout)
+    _epilogue(acc, s_ref, b_ref, r_ref, act, o_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "stride", "tile_h", "interpret"),
+)
+def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
+                   stride=1, tile_h=16, interpret=None):
+    """y = act(conv3x3(x, kernel, stride) * scale + bias [+ residual]).
+
+    Args:
+      x: [B, H, W, Cin] NHWC (H, W even when stride=2).
+      kernel: [3, 3, Cin, Cout] (HWIO, the nn.Conv layout).
+      scale/bias: [Cout] folded inference-BN affine
+        (gamma/sqrt(var+eps), beta - mean*gamma/sqrt(var+eps)); pass
+        ones/zeros for a bare conv, or (ones, conv_bias) for conv+bias.
+      act: 'relu' or None.
+      residual: optional [B, H/stride, W/stride, Cout] added before act.
+      stride: 1 or 2 (padding fixed at 1, the 'same' 3x3 config).
+
+    Returns [B, H/stride, W/stride, Cout] in x.dtype (f32 accumulation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    h_out, w_out = h // stride, w // stride
+    while h_out % tile_h:
+        tile_h //= 2
+    s2 = scale.astype(jnp.float32).reshape(1, cout)
+    b2 = bias.astype(jnp.float32).reshape(1, cout)
+    if stride == 1:
+        xp = jnp.pad(x, ((0, 0), (1, 2), (1, 1), (0, 0)))
+        kfn = _conv_kernel
+        hpad = h + 3
+    else:
+        xp = jnp.pad(x, ((0, 0), (1, 3), (1, 1), (0, 0)))
+        kfn = _conv_s2_kernel
+        hpad = h + 4
+    has_res = residual is not None
+    in_specs = [
+        pl.BlockSpec((1, hpad, w + 2, cin), lambda bb, i: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, cin, cout), lambda bb, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda bb, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda bb, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, kernel.astype(x.dtype), s2, b2]
+    if has_res:
+        in_specs.append(
+            pl.BlockSpec((1, tile_h, w_out, cout),
+                         lambda bb, i: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(residual)
+    f = pl.pallas_call(
+        functools.partial(kfn, tile_h=tile_h, w_out=w_out, act=act,
+                          has_res=has_res),
+        grid=(b, h_out // tile_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile_h, w_out, cout),
+                               lambda bb, i: (bb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, cout), x.dtype),
+        interpret=interpret,
+    )
+    return f(*operands)
+
+
+def conv3x3_bn_act_auto(x, kernel, scale, bias, act="relu", residual=None,
+                        stride=1):
+    """Pallas kernel on TPU, identical-math XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return conv3x3_bn_act(x, kernel, scale, bias, act=act,
+                              residual=residual, stride=stride)
+    return conv3x3_bn_act_xla(x, kernel, scale, bias, act=act,
+                              residual=residual, stride=stride)
+
+
+def conv3x3_bn_act_xla(x, kernel, scale, bias, act="relu", residual=None,
+                       stride=1):
+    """Identical-math XLA fallback (and test oracle) for
+    :func:`conv3x3_bn_act`."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)

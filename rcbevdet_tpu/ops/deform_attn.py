@@ -159,6 +159,40 @@ def packed_corner_parts_nogather(value_bhwc, fx, fy, h, w):
     return packed.reshape(n * h * w, 4 * hd), flat_idx, slot_w
 
 
+def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False):
+    """Pack corners + row-gather ONLY (no slot-weight computation).
+
+    Feeds :func:`deform_attn_pallas.combine4_p_reduce_fused`, which derives
+    the slot weights in-kernel from (fx, fy) — the XLA-side slot fusion and
+    the [N, 4, S] weight stack never exist.  Returns [N, S, 4*hd].
+
+    ``split_batch_gather``: one gather per batch row (VMEM-resident-table
+    fast path for wide tables, see :func:`packed_bilinear_parts`)."""
+    n, s = fx.shape
+    hd = value_bhwc.shape[-1]
+    packed = _pack_corners(value_bhwc)
+    xc = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 1)
+    yc = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 1)
+    if split_batch_gather:
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        flat_n = yc * w + xc
+        packed_flat = packed.reshape(n, h * w, 4 * hd)
+        return jnp.stack(
+            [
+                jax.lax.gather(
+                    packed_flat[i], flat_n[i][:, None], dnums,
+                    slice_sizes=(1, 4 * hd), mode="promise_in_bounds",
+                )
+                for i in range(n)
+            ]
+        )
+    nidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
+    flat_idx = (nidx * h + yc) * w + xc
+    return _gather_packed_rows(packed.reshape(n * h * w, 4 * hd), flat_idx)
+
+
 def _gather_packed_rows(packed_flat, flat_idx):
     """[R, 4hd], [N, S] -> [N, S, 4hd] via the fast 1-component gather."""
     n, s = flat_idx.shape
@@ -351,30 +385,34 @@ def ms_deform_attn_core_packed(value, spatial_shapes, sampling_locations,
             )
             outputs.append(out_l.reshape(b, n_heads, lq, hd))
             continue
+        if reduce == "pallas":
+            from .deform_attn_pallas import combine4_p_reduce_fused
+
+            # fused path: the kernel derives the slot weights from (fx, fy)
+            # on the VPU, so the XLA graph only gathers the packed rows —
+            # the per-slot select fusion and the [N, 4, S] weight stack
+            # (+ their HBM round-trip) are gone
+            patch = packed_gather_rows(value_l, fx, fy, h, w)
+            aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)
+            aw = jnp.moveaxis(aw, 3, 2).reshape(b * n_heads, p * lq)
+            out_l = combine4_p_reduce_fused(
+                patch, fx, fy, aw.astype(jnp.float32), p=p, hd=hd, h=h, w=w
+            )
+            outputs.append(
+                out_l.reshape(b, n_heads, lq, hd).astype(patch.dtype)
+            )
+            continue
         patch, slot_w = packed_bilinear_parts(value_l, fx, fy, h, w)
         # fold the attention weight into the slot weights so the per-point
         # sampled tensor is never materialized: the point reduction happens
         # in the same pass over the patch (saves a [B*heads, Lq, P, hd]
         # round-trip + a bf16 dot_general, ~3 ms/layer on v5e)
         aw = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)  # [B,h,Lq,P]
-        if reduce in ("slices", "pallas"):
+        if reduce == "slices":
             aw = jnp.moveaxis(aw, 3, 2)  # [B, h, P, Lq] to match P-major rows
             aw = aw.reshape(b * n_heads, p * lq, 1).astype(patch.dtype)
         else:
             aw = aw.reshape(b * n_heads, lq * p, 1).astype(patch.dtype)
-        if reduce == "pallas":
-            from .deform_attn_pallas import combine4_p_reduce
-
-            # [N, 4, S] weight layout keeps the HBM reads lane-dense (a
-            # [N, S, 4] minor-dim-4 array reads 32x padded)
-            w4t = jnp.stack(
-                [(slot_w[si] * aw)[..., 0] for si in range(4)], axis=1
-            )
-            out_l = combine4_p_reduce(patch, w4t, p=p, hd=hd)
-            outputs.append(
-                out_l.reshape(b, n_heads, lq, hd).astype(patch.dtype)
-            )
-            continue
         if reduce == "einsum":
             # single fused multiply-reduce over the 4 packed slots: summing
             # 4 separate slot products keeps 4 [N, S, hd] intermediates

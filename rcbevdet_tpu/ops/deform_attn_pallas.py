@@ -36,6 +36,177 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _slot_weights(fx, fy, h, w, dt):
+    """Packed-slot bilinear weights from continuous pixel coords.
+
+    fx/fy: [1, T] f32 tiles.  Returns [4, T] weights in ``dt`` replicating
+    ``ops/deform_attn.py::packed_corner_parts_nogather``'s slot_w exactly:
+    for each true corner (dy, dx), its bilinear weight (zeroed outside the
+    image) accumulates into the packed slot the edge-clamped gather put it
+    in (slot = (clip(ty-yc,0,1), clip(tx-xc,0,1)))."""
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xc = jnp.clip(x0i, 0, w - 1)
+    yc = jnp.clip(y0i, 0, h - 1)
+    slots = [jnp.zeros(fx.shape, jnp.float32) for _ in range(4)]
+    for dy in (0, 1):
+        for dx in (0, 1):
+            ty = y0i + dy
+            tx = x0i + dx
+            valid = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+            oy = jnp.clip(ty - yc, 0, 1)
+            ox = jnp.clip(tx - xc, 0, 1)
+            wgt = jnp.where(
+                valid,
+                (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy),
+                0.0,
+            )
+            si = oy * 2 + ox
+            for s in range(4):
+                slots[s] = slots[s] + jnp.where(si == s, wgt, 0.0)
+    return jnp.concatenate(slots, axis=0).astype(dt)  # [4, T]
+
+
+def _combine_fused_kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref, o_ref,
+                          *, h, w, hd, out_dot, r_ref=None):
+    p_idx = pl.program_id(2)
+
+    @pl.when(p_idx == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # f32 operands must NOT be truncated to bf16 by the MXU (default
+    # precision): whether that happens depends on whether Mosaic routes
+    # the dot to the VPU or MXU (tile-size dependent), so pin HIGHEST for
+    # f32 inputs.  bf16 inputs are MXU-native (exact) — keep DEFAULT.
+    prec = (jax.lax.Precision.HIGHEST
+            if p_ref.dtype == jnp.float32 else None)
+    w4 = _slot_weights(fx_ref[0], fy_ref[0], h, w, jnp.float32)  # [4, T]
+    if aw_ref is not None:
+        w4 = w4 * aw_ref[0].astype(jnp.float32)
+    # [4, T] x [4, C4] -> [T, C4] lane broadcast via the indicator matmul;
+    # the weights round to the patch dtype exactly like the XLA-side w4t
+    # stack did, keeping numerics identical to combine4_p_reduce
+    w128 = jax.lax.dot_general(
+        w4.astype(p_ref.dtype), e_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    val = p_ref[0] * w128.astype(p_ref.dtype)
+    if out_dot:
+        o_ref[0] += jax.lax.dot_general(
+            val, r_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    else:
+        o_ref[0] += (
+            val[:, 0 * hd : 1 * hd].astype(jnp.float32)
+            + val[:, 1 * hd : 2 * hd].astype(jnp.float32)
+            + val[:, 2 * hd : 3 * hd].astype(jnp.float32)
+            + val[:, 3 * hd : 4 * hd].astype(jnp.float32)
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "hd", "h", "w", "block_q", "out_dot", "interpret"),
+)
+def combine4_p_reduce_fused(patch, fx, fy, aw, p, hd, h, w,
+                            block_q=8192, out_dot=False, interpret=None):
+    """Slot-combine + point-reduce with IN-KERNEL slot weights.
+
+    Same contract as :func:`combine4_p_reduce`, but instead of taking the
+    precomputed [N, 4, S] weight stack it takes the raw continuous pixel
+    coords (fx, fy: [N, S] f32) and optional per-row attention weights
+    (aw: [N, S] or None) and derives the 4 packed-slot bilinear weights on
+    the VPU inside the kernel.  This deletes the XLA-side slot fusion +
+    [N, 4, S] stack (~0.5 ms/layer at CAMF shapes) and its HBM round-trip.
+
+    out_dot: reduce the 4 packed lane groups with the R-matmul (works for
+      any hd) instead of lane slices (needs hd % 128-friendly slices; the
+      fast path for hd=32 CAMF).
+
+    Returns [N, Lq, hd] float32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, s, c4 = patch.shape
+    assert c4 == 4 * hd and s % p == 0
+    lq = s // p
+    if block_q != 8192:
+        t = block_q
+    else:
+        cap = max(128, (2 << 20) // (c4 * patch.dtype.itemsize))
+        t = min(block_q, 1 << (cap.bit_length() - 1))
+    while lq % t:
+        t //= 2
+    n_lq = lq // t
+    e = jnp.asarray(
+        (np.arange(c4)[None] // hd == np.arange(4)[:, None]), jnp.float32
+    ).astype(patch.dtype)
+    row_spec = pl.BlockSpec((1, 1, t),
+                            lambda hh, q, pp: (hh, 0, pp * n_lq + q),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, t, c4), lambda hh, q, pp: (hh, pp * n_lq + q, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec,
+        row_spec,
+    ]
+    operands = [patch, fx.reshape(n, 1, s), fy.reshape(n, 1, s)]
+    if aw is not None:
+        in_specs.append(row_spec)
+        operands.append(aw.reshape(n, 1, s))
+    in_specs.append(
+        pl.BlockSpec((4, c4), lambda hh, q, pp: (0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(e)
+    kw = dict(h=h, w=w, hd=hd, out_dot=out_dot)
+    if out_dot:
+        r = jnp.asarray(
+            (np.arange(c4)[:, None] % hd == np.arange(hd)[None]), np.float32
+        ).astype(patch.dtype)
+        in_specs.append(
+            pl.BlockSpec((c4, hd), lambda hh, q, pp: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(r)
+    f = pl.pallas_call(
+        _make_fused_kernel(aw is not None, out_dot, kw),
+        grid=(n, n_lq, p),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, t, hd), lambda hh, q, pp: (hh, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, lq, hd), jnp.float32),
+        interpret=interpret,
+    )
+    return f(*operands)
+
+
+def _make_fused_kernel(has_aw, out_dot, kw):
+    if has_aw and out_dot:
+        def kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref, r_ref, o_ref):
+            _combine_fused_kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref,
+                                  o_ref, r_ref=r_ref, **kw)
+    elif has_aw:
+        def kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref, o_ref):
+            _combine_fused_kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref,
+                                  o_ref, **kw)
+    elif out_dot:
+        def kernel(p_ref, fx_ref, fy_ref, e_ref, r_ref, o_ref):
+            _combine_fused_kernel(p_ref, fx_ref, fy_ref, None, e_ref,
+                                  o_ref, r_ref=r_ref, **kw)
+    else:
+        def kernel(p_ref, fx_ref, fy_ref, e_ref, o_ref):
+            _combine_fused_kernel(p_ref, fx_ref, fy_ref, None, e_ref,
+                                  o_ref, **kw)
+    return kernel
+
+
 def _combine_kernel(p_ref, w_ref, e_ref, r_ref, o_ref):
     p_idx = pl.program_id(2)
 
@@ -43,16 +214,20 @@ def _combine_kernel(p_ref, w_ref, e_ref, r_ref, o_ref):
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    # see combine4_p_reduce_fused: pin HIGHEST for f32 so the MXU doesn't
+    # silently truncate to bf16 (tile-size-dependent VPU/MXU routing)
+    prec = (jax.lax.Precision.HIGHEST
+            if p_ref.dtype == jnp.float32 else None)
     # [4, T] x [4, C4] -> [T, C4]: contracting the sublane dim avoids an
     # explicit in-kernel transpose of the weight tile
     w128 = jax.lax.dot_general(
         w_ref[0], e_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     val = p_ref[0] * w128.astype(p_ref.dtype)
     o_ref[0] += jax.lax.dot_general(
         val, r_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 

@@ -135,20 +135,26 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
     else:
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
+    if pallas_combine and fx.shape[1] % 128 == 0:
+        # forward-only fast path (no VJP): gather the packed rows and let
+        # the Pallas kernel derive the 4 slot weights in-kernel from
+        # (fx, fy) — no XLA-side slot fusion, no [N, 4, S] weight stack
+        # (ops/deform_attn_pallas.py).  out_dot reduces the lane groups on
+        # the MXU (C is rarely a 128-multiple here).
+        from .deform_attn import packed_gather_rows
+        from .deform_attn_pallas import combine4_p_reduce_fused
+
+        patch = packed_gather_rows(
+            imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
+        )
+        out = combine4_p_reduce_fused(
+            patch, fx, fy, None, p=1, hd=c, h=h, w=w, out_dot=True
+        ).astype(imgs.dtype)
+        return out.reshape((n,) + lead + (c,))
     patch, slot_w = packed_bilinear_parts(
         imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
     )
-    if pallas_combine and fx.shape[1] % 128 == 0:
-        # forward-only fast path (no VJP): MXU slot combine instead of the
-        # VPU-bound lane-broadcast fusion (ops/deform_attn_pallas.py)
-        from .deform_attn_pallas import combine4_p_reduce
-
-        w4t = jnp.stack(
-            [slot_w[si][..., 0] for si in range(4)], axis=1
-        )
-        out = combine4_p_reduce(patch, w4t, p=1, hd=c).astype(imgs.dtype)
-    else:
-        out = sum(
-            patch[..., si * c : (si + 1) * c] * slot_w[si] for si in range(4)
-        )
+    out = sum(
+        patch[..., si * c : (si + 1) * c] * slot_w[si] for si in range(4)
+    )
     return out.reshape((n,) + lead + (c,))

@@ -81,6 +81,9 @@ def main(argv=None):
                    default="float32")
     p.add_argument("--accelerate", action="store_true")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--group", type=int, default=0,
+                   help="aggregate device time by the first N module-path "
+                        "segments of each op's tf_op annotation")
     p.add_argument("--steps", type=int, default=5,
                    help="steps per trace (keep total device time < ~7 s "
                         "or the profiler buffer overflows)")
@@ -222,6 +225,19 @@ def main(argv=None):
     print(f"mode={args.mode} B={b} dtype={args.dtype}: "
           f"{total_ms:.2f} ms/step device "
           f"({total_ms / max(b, 1):.2f} ms/frame)")
+    if args.group:
+        # aggregate by the module-path prefix of the tf_op annotation
+        # (first `--group` path segments after the jit wrapper), so the
+        # long tail of per-layer convs rolls up into per-module totals
+        grouped = collections.Counter()
+        for name, us in agg.items():
+            t_ = src.get(name, ("", ""))[1]
+            parts = [s for s in t_.split("/") if s][1:]  # drop jit(step)
+            key = "/".join(parts[: args.group]) if parts else "(unattributed)"
+            grouped[key] += us
+        for key, us in grouped.most_common(args.top):
+            print(f"{us / args.steps / 1e3:9.3f} ms  {key[:100]}")
+        return 0
     for name, us in agg.most_common(args.top):
         s_, t_ = src.get(name, ("", ""))
         s_short = s_.split("/")[-1][:30]

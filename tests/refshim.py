@@ -314,6 +314,81 @@ class MMDetBasicBlock(nn.Module):
         return self.relu(out + identity)
 
 
+class MMDetBottleneck(nn.Module):
+    """mmdet ResNet Bottleneck, style='pytorch' (stride on the 3x3 conv2),
+    matching torchvision resnet50 — the reference's image backbone comes
+    from external mmdet (config rcbevdet-...py:58-68)."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class MMDetResNet(nn.Module):
+    """mmdet-compatible ResNet (the subset the RC configs use: depth 50,
+    style='pytorch', out_indices, no deep stem).  Param names match mmdet/
+    torchvision ('conv1', 'bn1', 'layer{1-4}.{i}.conv{1-3}/bn{1-3}/
+    downsample.{0,1}') so the repo's torch->flax name map applies."""
+
+    arch = {18: (MMDetBasicBlock, (2, 2, 2, 2)),
+            50: (MMDetBottleneck, (3, 4, 6, 3))}
+
+    def __init__(self, depth=50, out_indices=(2, 3), **kwargs):
+        super().__init__()
+        block, blocks = self.arch[depth]
+        self.out_indices = out_indices
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = 64
+        for stage in range(4):
+            planes = 64 * 2 ** stage
+            stride = 1 if stage == 0 else 2
+            layers = []
+            for i in range(blocks[stage]):
+                s = stride if i == 0 else 1
+                downsample = None
+                if i == 0 and (s != 1 or inplanes != planes * block.expansion):
+                    downsample = nn.Sequential(
+                        nn.Conv2d(inplanes, planes * block.expansion, 1,
+                                  stride=s, bias=False),
+                        nn.BatchNorm2d(planes * block.expansion),
+                    )
+                layers.append(block(inplanes, planes, stride=s,
+                                    downsample=downsample))
+                inplanes = planes * block.expansion
+            setattr(self, f"layer{stage + 1}", nn.Sequential(*layers))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for stage in range(4):
+            x = getattr(self, f"layer{stage + 1}")(x)
+            if stage in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
 # ----------------------------------------------------------------- registries
 class Registry:
     def __init__(self, name):

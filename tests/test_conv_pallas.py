@@ -1,0 +1,109 @@
+"""Fused Pallas conv3x3+BN+act vs the XLA oracle (ops/conv_pallas.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rcbevdet_tpu.ops.conv_pallas import conv3x3_bn_act, conv3x3_bn_act_xla
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _case(rng, b, h, w, cin, cout, dtype=jnp.float32):
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)), dtype)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                    jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (cout,)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+    return x, k, s, bb
+
+
+def test_stride1_relu_matches_xla(rng):
+    x, k, s, b = _case(rng, 2, 16, 24, 16, 8)
+    out = conv3x3_bn_act(x, k, s, b, act="relu")
+    ref = conv3x3_bn_act_xla(x, k, s, b, act="relu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride1_no_act_residual(rng):
+    x, k, s, b = _case(rng, 1, 8, 16, 8, 8)
+    res = jnp.asarray(rng.standard_normal((1, 8, 16, 8)), jnp.float32)
+    out = conv3x3_bn_act(x, k, s, b, act=None, residual=res)
+    ref = conv3x3_bn_act_xla(x, k, s, b, act=None, residual=res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride2_matches_xla(rng):
+    x, k, s, b = _case(rng, 2, 16, 24, 12, 8)
+    out = conv3x3_bn_act(x, k, s, b, act="relu", stride=2)
+    ref = conv3x3_bn_act_xla(x, k, s, b, act="relu", stride=2)
+    assert out.shape == (2, 8, 12, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride2_residual_relu(rng):
+    x, k, s, b = _case(rng, 1, 16, 16, 8, 16)
+    res = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    out = conv3x3_bn_act(x, k, s, b, act="relu", residual=res, stride=2)
+    ref = conv3x3_bn_act_xla(x, k, s, b, act="relu", residual=res, stride=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bare_conv_with_bias_epilogue(rng):
+    """scale=1, bias=conv_bias reproduces a biased conv (the CustomResNet
+    bare-conv downsample, reference models/backbones/resnet.py:55-60)."""
+    x, k, _, b = _case(rng, 1, 8, 8, 4, 4)
+    ones = jnp.ones((4,), jnp.float32)
+    out = conv3x3_bn_act(x, k, ones, b, act=None, stride=2)
+    ref = conv3x3_bn_act_xla(x, k, ones, b, act=None, stride=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_odd_tile_height_autohalves(rng):
+    """h_out not divisible by the default tile: tile_h halves to fit."""
+    x, k, s, b = _case(rng, 1, 4, 8, 4, 4)
+    out = conv3x3_bn_act(x, k, s, b, act="relu", tile_h=16)
+    ref = conv3x3_bn_act_xla(x, k, s, b, act="relu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_basicblock_fast_path_matches_slow(rng):
+    """BasicBlock(fast=True) == BasicBlock(fast=False) at inference
+    (CustomResNet flavor: bare-conv-3x3 shortcut)."""
+    from rcbevdet_tpu.models.layers import BasicBlock
+
+    m = BasicBlock(features=8, stride=2, downsample=True,
+                   downsample_conv_only=True)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # non-trivial BN stats so the fold is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.3 if v.ndim == 1 else v, variables
+    )
+    slow = m.apply(variables, x, train=False, fast=False)
+    fastv = m.apply(variables, x, train=False, fast=True)
+    np.testing.assert_allclose(np.asarray(fastv), np.asarray(slow),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_bn_relu_3x3_fast_matches_slow(rng):
+    from rcbevdet_tpu.models.fpn import FPN_LSS
+
+    m = FPN_LSS(out_channels=8, input_feature_index=(0, 1))
+    f0 = jnp.asarray(rng.standard_normal((1, 8, 8, 12)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((1, 2, 2, 24)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(1), (f0, f1))
+    slow = m.apply(variables, (f0, f1), train=False, fast=False)
+    fastv = m.apply(variables, (f0, f1), train=False, fast=True)
+    np.testing.assert_allclose(np.asarray(fastv), np.asarray(slow),
+                               rtol=1e-5, atol=1e-5)

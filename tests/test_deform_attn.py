@@ -252,3 +252,24 @@ def test_packed_custom_reduce_under_checkpoint():
     np.testing.assert_allclose(float(le), float(lc), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ge), np.asarray(gc),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_combine4_fused_out_dot_matches_slices():
+    """combine4_p_reduce_fused: the R-matmul lane reduce (out_dot=True,
+    any-hd path) must match the lane-slice reduce (hd=32 fast path)."""
+    from rcbevdet_tpu.ops.deform_attn import packed_gather_rows
+    from rcbevdet_tpu.ops.deform_attn_pallas import combine4_p_reduce_fused
+
+    rng = np.random.default_rng(15)
+    n, hd, h, w, p, lq = 2, 8, 16, 24, 4, 128
+    s = p * lq
+    value = jnp.asarray(rng.standard_normal((n, h, w, hd)), jnp.float32)
+    fx = jnp.asarray(rng.uniform(-2.0, w + 2.0, (n, s)), jnp.float32)
+    fy = jnp.asarray(rng.uniform(-2.0, h + 2.0, (n, s)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0.0, 1.0, (n, s)), jnp.float32)
+    patch = packed_gather_rows(value, fx, fy, h, w)
+    a = combine4_p_reduce_fused(patch, fx, fy, aw, p=p, hd=hd, h=h, w=w)
+    b = combine4_p_reduce_fused(patch, fx, fy, aw, p=p, hd=hd, h=h, w=w,
+                                out_dot=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
