@@ -513,13 +513,24 @@ class RCBEVDet(nn.Module):
         s2k_rep = jnp.repeat(s2k, f1, axis=0)
         prev_s2k = prev_sensor2keyegos.reshape(b * f1, -1, 4, 4)
         bda_rep = jnp.repeat(bda, f1, axis=0)
-        shifted = shift_bev(
-            prev_flat, s2k_rep, prev_s2k, bda_rep,
-            (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
-            fast_inference=True,
-        )
-        shifted = shifted.reshape(b, f1, ny, nx, ch)
-        shifted = jnp.moveaxis(shifted, 1, 3).reshape(b, ny, nx, f1 * ch)
+        if b == 1:
+            # the combine kernel writes [ny, nx, F1*C] directly (frame axis
+            # as channel groups) — no moveaxis/reshape HBM relayout before
+            # the 720-channel concat (profiled ~0.9 ms/frame of copies)
+            shifted = shift_bev(
+                prev_flat, s2k_rep, prev_s2k, bda_rep,
+                (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
+                fast_inference=True, flat_channels=True,
+            )[None]
+        else:
+            shifted = shift_bev(
+                prev_flat, s2k_rep, prev_s2k, bda_rep,
+                (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
+                fast_inference=True,
+            )
+            shifted = shifted.reshape(b, f1, ny, nx, ch)
+            shifted = jnp.moveaxis(shifted, 1, 3).reshape(
+                b, ny, nx, f1 * ch)
         bev = jnp.concatenate([key_bev, shifted], axis=-1)
         feats = self.bev_backbone(bev, train=False, update_stats=False,
                                   fast=True)

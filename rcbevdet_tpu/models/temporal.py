@@ -31,7 +31,7 @@ def _embed4(bda):
 
 def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
               grid_lower_bound, grid_interval, bda_adj=None,
-              fast_inference=False):
+              fast_inference=False, flat_channels=False):
     """Warp adjacent-frame BEV features into the key frame.
 
     Args:
@@ -40,9 +40,12 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
         :604-607 picks sensor 0 of each frame).
       bda: [B, 3, 3]; bda_adj optional.
       grid_lower_bound/interval: (x, y) of the BEV grid.
+      flat_channels: return [H, W, B*C] (batch stacked into channel groups,
+        written in that layout directly by the combine kernel) — the
+        cached-BEV path's concat feed.
 
     Returns:
-      [B, H, W, C] warped feature.
+      [B, H, W, C] warped feature ([H, W, B*C] with ``flat_channels``).
     """
     b, h, w, c = feat.shape
     c02l0 = sensor2keyego_key[:, 0]  # [B, 4, 4]
@@ -86,7 +89,7 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     warp = jax.checkpoint(
         lambda f, gg: grid_sample_2d_packed(
             f, gg, align_corners=True, split_batch_gather=fast_inference,
-            pallas_combine=fast_inference,
+            pallas_combine=fast_inference, flat_channels=flat_channels,
         )
     )
     out = warp(feat, g)

@@ -71,6 +71,83 @@ def _slot_weights(fx, fy, h, w, dt):
     return jnp.concatenate(slots, axis=0).astype(dt)  # [4, T]
 
 
+def _warp_flat_kernel(p_ref, fx_ref, fy_ref, e_ref, r_ref, o_ref,
+                      *, n, h, w, hd):
+    """Per-frame slot-combine writing frame-stacked channel groups.
+
+    One grid step owns a [T, N*hd] output tile; the frame loop is unrolled
+    in-kernel so each frame's [T, hd] result lands at a STATIC lane offset
+    (dynamic lane starts would need 128-alignment, and hd=80 is not) —
+    this is what lets the cached-BEV temporal warp emit the
+    [Lq, F*C] concat layout straight from the kernel."""
+    prec = (jax.lax.Precision.HIGHEST
+            if p_ref.dtype == jnp.float32 else None)
+    for hh in range(n):
+        # fx/fy blocks are [N, 1, T]; keep the [1, T] tile shape that
+        # _slot_weights' axis-0 concatenate expects
+        w4 = _slot_weights(fx_ref[hh], fy_ref[hh], h, w, jnp.float32)
+        w128 = jax.lax.dot_general(
+            w4.astype(p_ref.dtype), e_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        val = p_ref[hh] * w128.astype(p_ref.dtype)
+        acc = jax.lax.dot_general(
+            val, r_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        o_ref[:, hh * hd:(hh + 1) * hd] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hd", "h", "w", "block_q", "interpret")
+)
+def warp_combine_flat(patch, fx, fy, hd, h, w, block_q=512, interpret=None):
+    """Slot-combine for the batched bilinear warp, emitting [Lq, N*hd].
+
+    Same math as :func:`combine4_p_reduce_fused` with p=1/out_dot=True, but
+    the batch (frame) axis is unrolled inside the kernel and written as
+    channel groups of one output tile, so the [N, Lq, hd] -> [Lq, N*hd]
+    relayout (an HBM round-trip the cached-BEV path paid ~0.9 ms/frame for)
+    never exists.  Output dtype follows the patch dtype.
+
+    patch: [N, Lq, 4*hd]; fx/fy: [N, Lq] f32.  Returns [Lq, N*hd].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, lq, c4 = patch.shape
+    assert c4 == 4 * hd
+    t = block_q
+    while lq % t:
+        t //= 2
+    e = jnp.asarray(
+        (np.arange(c4)[None] // hd == np.arange(4)[:, None]), jnp.float32
+    ).astype(patch.dtype)
+    r = jnp.asarray(
+        (np.arange(c4)[:, None] % hd == np.arange(hd)[None]), np.float32
+    ).astype(patch.dtype)
+    row_spec = pl.BlockSpec((n, 1, t), lambda q: (0, 0, q),
+                            memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        functools.partial(_warp_flat_kernel, n=n, h=h, w=w, hd=hd),
+        grid=(lq // t,),
+        in_specs=[
+            pl.BlockSpec((n, t, c4), lambda q: (0, q, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+            pl.BlockSpec((4, c4), lambda q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c4, hd), lambda q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, n * hd), lambda q: (q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lq, n * hd), patch.dtype),
+        interpret=interpret,
+    )
+    return f(patch, fx.reshape(n, 1, lq), fy.reshape(n, 1, lq), e, r)
+
+
 def _combine_fused_kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref, o_ref,
                           *, h, w, hd, out_dot, r_ref=None):
     p_idx = pl.program_id(2)
@@ -97,25 +174,28 @@ def _combine_fused_kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref, o_ref,
     )
     val = p_ref[0] * w128.astype(p_ref.dtype)
     if out_dot:
-        o_ref[0] += jax.lax.dot_general(
+        acc = jax.lax.dot_general(
             val, r_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
     else:
-        o_ref[0] += (
+        acc = (
             val[:, 0 * hd : 1 * hd].astype(jnp.float32)
             + val[:, 1 * hd : 2 * hd].astype(jnp.float32)
             + val[:, 2 * hd : 3 * hd].astype(jnp.float32)
             + val[:, 3 * hd : 4 * hd].astype(jnp.float32)
         )
+    o_ref[0] += acc.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "hd", "h", "w", "block_q", "out_dot", "interpret"),
+    static_argnames=("p", "hd", "h", "w", "block_q", "out_dot", "interpret",
+                     "out_dtype"),
 )
 def combine4_p_reduce_fused(patch, fx, fy, aw, p, hd, h, w,
-                            block_q=8192, out_dot=False, interpret=None):
+                            block_q=8192, out_dot=False, interpret=None,
+                            out_dtype=None):
     """Slot-combine + point-reduce with IN-KERNEL slot weights.
 
     Same contract as :func:`combine4_p_reduce`, but instead of taking the
@@ -128,8 +208,10 @@ def combine4_p_reduce_fused(patch, fx, fy, aw, p, hd, h, w,
     out_dot: reduce the 4 packed lane groups with the R-matmul (works for
       any hd) instead of lane slices (needs hd % 128-friendly slices; the
       fast path for hd=32 CAMF).
+    out_dtype: output dtype (default float32).  Non-f32 requires p == 1
+      (the p grid axis accumulates into the output buffer).
 
-    Returns [N, Lq, hd] float32.
+    Returns [N, Lq, hd] in out_dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -175,13 +257,16 @@ def combine4_p_reduce_fused(patch, fx, fy, aw, p, hd, h, w,
                          memory_space=pltpu.VMEM)
         )
         operands.append(r)
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    assert out_dtype == jnp.float32 or p == 1, \
+        "non-f32 output would accumulate the p axis at reduced precision"
     f = pl.pallas_call(
         _make_fused_kernel(aw is not None, out_dot, kw),
         grid=(n, n_lq, p),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, t, hd), lambda hh, q, pp: (hh, q, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, lq, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, lq, hd), out_dtype),
         interpret=interpret,
     )
     return f(*operands)

@@ -108,7 +108,8 @@ def nearest_resize(x, out_h, out_w):
 
 def grid_sample_2d_packed(imgs, grid, align_corners=True,
                           pallas_combine=False,
-                          split_batch_gather=False):
+                          split_batch_gather=False,
+                          flat_channels=False):
     """Batched bilinear grid sample via ONE packed-corner row gather.
 
     Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
@@ -121,7 +122,10 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
       grid: [N, ..., 2] normalized (x, y) in [-1, 1].
 
     Returns:
-      [N, ..., C]
+      [N, ..., C]  (with ``flat_channels`` instead [..., N*C]: the batch
+      axis stacked into channel groups, written directly by the Pallas
+      combine kernel's block map — skips the [N, S, C] -> [S, N*C] HBM
+      relayout the cached-BEV temporal warp's concat feed would pay)
     """
     from .deform_attn import packed_bilinear_parts
 
@@ -147,9 +151,15 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
         patch = packed_gather_rows(
             imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
         )
+        if flat_channels:
+            from .deform_attn_pallas import warp_combine_flat
+
+            out = warp_combine_flat(patch, fx, fy, hd=c, h=h, w=w)
+            return out.reshape(lead + (n * c,))
         out = combine4_p_reduce_fused(
-            patch, fx, fy, None, p=1, hd=c, h=h, w=w, out_dot=True
-        ).astype(imgs.dtype)
+            patch, fx, fy, None, p=1, hd=c, h=h, w=w, out_dot=True,
+            out_dtype=imgs.dtype,
+        )
         return out.reshape((n,) + lead + (c,))
     patch, slot_w = packed_bilinear_parts(
         imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
@@ -157,4 +167,6 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
     out = sum(
         patch[..., si * c : (si + 1) * c] * slot_w[si] for si in range(4)
     )
+    if flat_channels:  # XLA fallback: explicit relayout
+        return jnp.moveaxis(out, 0, -2).reshape(lead + (n * c,))
     return out.reshape((n,) + lead + (c,))

@@ -391,9 +391,15 @@ class MMDetResNet(nn.Module):
 
 # ----------------------------------------------------------------- registries
 class Registry:
-    def __init__(self, name):
+    """Like mmcv's Registry, but category registries may SHARE one
+    module_dict — mirroring the reference where every mmdet3d registry
+    aliases a single MODELS registry (mmdet3d/models/builder.py:17-31), so
+    e.g. RadarBEVNet registers under BACKBONES yet is built via
+    build_voxel_encoder."""
+
+    def __init__(self, name, module_dict=None):
         self.name = name
-        self.module_dict = {}
+        self.module_dict = {} if module_dict is None else module_dict
 
     def register_module(self, name=None, force=False, module=None):
         def _register(cls):
@@ -604,9 +610,10 @@ def install():
 
     m3dmodels = _module("mmdet3d.models")
     m3dbuilder = _module("mmdet3d.models.builder")
+    shared_models = {}  # one MODELS dict behind every category registry
     for reg in ("BACKBONES", "NECKS", "HEADS", "MIDDLE_ENCODERS", "FUSERS",
                 "VOXEL_ENCODERS", "DETECTORS", "LOSSES", "SEGMENTORS"):
-        setattr(m3dbuilder, reg, Registry(reg))
+        setattr(m3dbuilder, reg, Registry(reg, shared_models))
     def _make_build(reg):
         def _build(cfg, **kw):
             cfg = dict(cfg)
@@ -625,7 +632,8 @@ def install():
     m3dops = _module("mmdet3d.ops")
     bp = _module("mmdet3d.ops.bev_pool_v2")
     bpb = _module("mmdet3d.ops.bev_pool_v2.bev_pool")
-    bpb.bev_pool_v2 = _stub
+    bpb.bev_pool_v2 = bev_pool_v2_torch
+    bpb.TRTBEVPoolv2 = _stub
     bp.bev_pool = bpb
     m3dops.bev_pool_v2 = bp
     m3d.ops = m3dops
