@@ -41,7 +41,14 @@ def bev_pool_ranks(coor, grid_lower_bound, grid_interval, grid_size):
         ``nx*ny*nz`` for out-of-range points.
     """
     nx, ny, nz = grid_size
-    idx = jnp.floor(
+    # int cast truncates toward zero, NOT floor — deliberately so: the
+    # reference bins via ``coor.long()`` (view_transformer.py:230-232),
+    # which sends fractional-cell coordinates in (-1, 0) to bin 0, so
+    # points up to one voxel BELOW the grid lower bound contribute to the
+    # first row/column of the BEV.  Floor semantics drop them; assembled
+    # full-detector parity (tests/test_full_detector_parity.py) catches
+    # the difference on edge cells.
+    idx = (
         (coor - jnp.asarray(grid_lower_bound)) / jnp.asarray(grid_interval)
     ).astype(jnp.int32)
     ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]

@@ -39,6 +39,7 @@ benchmark (tools/analysis_tools/benchmark_sequential.py:66).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,11 +63,10 @@ def _conv_kernel(x_ref, w_ref, s_ref, b_ref, *rest, tile_h, w_out, act,
     wpad = w_out + 2
     cin = x_ref.shape[-1]
     cout = o_ref.shape[-1]
-    r0 = pl.program_id(1) * tile_h
     # tile_h+3 rows: the flattened tap offsets reach up to
     # (tile_h+2)*wpad + 2 (the junk columns of the last row under the
     # (ky=2, kx=2) tap), which needs one row beyond the true 3x3 halo
-    rows = x_ref[0, pl.dslice(r0, tile_h + 3)]  # [tile_h+3, W+2, Cin]
+    rows = x_ref[0]  # [tile_h+3, W+2, Cin] halo row-block (pl.Element)
     flat = rows.reshape((tile_h + 3) * wpad, cin)
     rlen = tile_h * wpad
     prec = (jax.lax.Precision.HIGHEST
@@ -90,8 +90,7 @@ def _conv_s2_kernel(x_ref, w_ref, s_ref, b_ref, *rest, tile_h, w_out, act,
     cin = x_ref.shape[-1]
     cout = o_ref.shape[-1]
     wp2 = x_ref.shape[-2] // 2  # (W+2)/2
-    r0 = pl.program_id(1) * tile_h * 2
-    rows = x_ref[0, pl.dslice(r0, 2 * tile_h + 4)]  # [2*th+4, W+2, Cin]
+    rows = x_ref[0]  # [2*th+4, W+2, Cin] halo row-block (pl.Element)
     ph = rows.reshape(tile_h + 2, 2, wp2, 2, cin)
     prec = (jax.lax.Precision.HIGHEST
             if x_ref.dtype == jnp.float32 else None)
@@ -137,19 +136,53 @@ def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
     h_out, w_out = h // stride, w // stride
     while h_out % tile_h:
         tile_h //= 2
+    # Shrink the row tile until the kernel's VMEM working set fits the
+    # scoped budget (input halo block double-buffered + its flattened
+    # reshape copy + weights + f32 accumulator + output block; round-3
+    # lesson: the f32 CAMF-fuser shape [1,128,128,768] OOM'd scoped VMEM
+    # when the whole padded slab was staged).  If even tile_h=1 is over
+    # budget, use the identical-math XLA formulation instead of crashing
+    # the compile.
+    budget = 1024 * int(
+        os.environ.get("RCBEVDET_CONV_VMEM_KIB", str(44 * 1024)))
+    isz = jnp.dtype(x.dtype).itemsize
+    w_bytes = 9 * cin * cout * isz
+
+    def _footprint(th):
+        rows = th + 3 if stride == 1 else 2 * th + 4
+        in_block = rows * (w + 2) * cin * isz
+        out_block = th * w_out * cout * isz
+        acc = th * ((w_out + 2) if stride == 1 else w_out) * cout * 4
+        res = out_block if residual is not None else 0
+        return 3 * in_block + w_bytes + acc + 2 * out_block + res
+
+    while tile_h > 1 and _footprint(tile_h) > budget:
+        tile_h //= 2
+        while h_out % tile_h:
+            tile_h //= 2
+    if _footprint(tile_h) > budget and not interpret:
+        return conv3x3_bn_act_xla(x, kernel, scale, bias, act=act,
+                                  residual=residual, stride=stride)
     s2 = scale.astype(jnp.float32).reshape(1, cout)
     b2 = bias.astype(jnp.float32).reshape(1, cout)
     if stride == 1:
         xp = jnp.pad(x, ((0, 0), (1, 2), (1, 1), (0, 0)))
         kfn = _conv_kernel
-        hpad = h + 3
+        rows_in, row_step = tile_h + 3, tile_h
     else:
         xp = jnp.pad(x, ((0, 0), (1, 3), (1, 1), (0, 0)))
         kfn = _conv_s2_kernel
-        hpad = h + 4
+        rows_in, row_step = 2 * tile_h + 4, 2 * tile_h
     has_res = residual is not None
+    # Overlapping halo row-blocks via elementwise start indices: each grid
+    # step stages only rows [i*row_step, i*row_step + rows_in) in VMEM
+    # (the last block's end lands exactly on the padded height), never the
+    # whole padded slab — which at f32 CAMF-fuser shapes ([1,131,130,768])
+    # blew the scoped-VMEM budget (round-3 bench crash).
     in_specs = [
-        pl.BlockSpec((1, hpad, w + 2, cin), lambda bb, i: (bb, 0, 0, 0),
+        pl.BlockSpec((pl.Element(1), pl.Element(rows_in),
+                      pl.Element(w + 2), pl.Element(cin)),
+                     lambda bb, i: (bb, i * row_step, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3, cin, cout), lambda bb, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),

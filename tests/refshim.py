@@ -433,6 +433,24 @@ class _AttrDict(dict):
 
 
 def build_bbox_coder(cfg):
+    """Builds the REAL reference coder when its class has been loaded into
+    BBOX_CODERS (load_bbox_coder), else a dict stub (forward-only tests)."""
+    bb = sys.modules.get("mmdet.core.bbox.builder")
+    t = cfg.get("type")
+    if bb is not None and hasattr(bb, "BBOX_CODERS"):
+        try:
+            cls = bb.BBOX_CODERS.get(t)
+        except KeyError:
+            cls = None
+        if cls is not None:
+            c = dict(cfg)
+            c.pop("type")
+            try:
+                return cls(**c)
+            except TypeError:
+                # forward-only tests pass minimal coder dicts lacking the
+                # real coder's required geometry args — keep the dict stub
+                pass
     return _AttrDict(cfg)
 
 
@@ -488,6 +506,122 @@ def _stub(*a, **k):
     raise NotImplementedError("stubbed ext op called in parity test")
 
 
+def circle_nms(dets, thresh, post_max_size=83):
+    """numpy transcription of the reference numba circle_nms
+    (core/post_processing/box3d_nms.py:237-283): greedy center-distance
+    suppression over score-sorted candidates; ``thresh`` compares against
+    SQUARED distance."""
+    import numpy as np
+
+    x1, y1, scores = dets[:, 0], dets[:, 1], dets[:, 2]
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(len(dets), bool)
+    keep = []
+    for _i in range(len(dets)):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for _j in range(_i + 1, len(dets)):
+            j = order[_j]
+            if suppressed[j]:
+                continue
+            if (x1[i] - x1[j]) ** 2 + (y1[i] - y1[j]) ** 2 <= thresh:
+                suppressed[j] = True
+    return keep[:post_max_size]
+
+
+class HardVoxelization(nn.Module):
+    """Torch/numpy oracle for mmcv.ops.Voxelization (hard voxelizer) as the
+    reference's radar branch uses it (bevdet_rc.py:106,168-194).
+
+    Semantics of mmcv's deterministic hard_voxelize: points are visited in
+    input order; a point outside the range is dropped; voxels are allocated
+    in first-appearance order up to max_voxels (eval uses max_voxels[1]);
+    within a voxel the first max_num_points points are kept.  Returns
+    (voxels [M, K, C] zero-padded, coors [M, 3] int (z, y, x),
+    num_points [M])."""
+
+    def __init__(self, voxel_size, point_cloud_range, max_num_points,
+                 max_voxels=20000, deterministic=True):
+        super().__init__()
+        self.voxel_size = list(voxel_size)
+        self.point_cloud_range = list(point_cloud_range)
+        self.max_num_points = max_num_points
+        if isinstance(max_voxels, (tuple, list)):
+            self.max_voxels = max_voxels
+        else:
+            self.max_voxels = (max_voxels, max_voxels)
+
+    def forward(self, points):
+        import numpy as np
+
+        max_voxels = self.max_voxels[0 if self.training else 1]
+        pts = points.detach().cpu().numpy()
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0, x1, y1, z1 = self.point_cloud_range
+        nx = int(round((x1 - x0) / vx))
+        ny = int(round((y1 - y0) / vy))
+        nz = int(round((z1 - z0) / vz))
+        voxel_of = {}
+        feats, coors, counts = [], [], []
+        for p in pts:
+            cx = int(np.floor((p[0] - x0) / vx))
+            cy = int(np.floor((p[1] - y0) / vy))
+            cz = int(np.floor((p[2] - z0) / vz))
+            if not (0 <= cx < nx and 0 <= cy < ny and 0 <= cz < nz):
+                continue
+            key = (cz, cy, cx)
+            vid = voxel_of.get(key)
+            if vid is None:
+                if len(feats) >= max_voxels:
+                    continue
+                vid = len(feats)
+                voxel_of[key] = vid
+                feats.append(
+                    np.zeros((self.max_num_points, pts.shape[1]),
+                             np.float32))
+                coors.append(key)
+                counts.append(0)
+            if counts[vid] < self.max_num_points:
+                feats[vid][counts[vid]] = p
+                counts[vid] += 1
+        if not feats:
+            c = pts.shape[1]
+            return (torch.zeros(0, self.max_num_points, c),
+                    torch.zeros(0, 3, dtype=torch.int32),
+                    torch.zeros(0, dtype=torch.int32))
+        return (torch.tensor(np.stack(feats)),
+                torch.tensor(np.asarray(coors, np.int32)),
+                torch.tensor(np.asarray(counts, np.int32)))
+
+
+def bev_pool_v2_torch(depth, feat, ranks_depth, ranks_feat, ranks_bev,
+                      bev_feat_shape, interval_starts, interval_lengths):
+    """Pure-torch oracle for the reference bev_pool_v2 CUDA op.
+
+    Matches /root/reference/mmdet3d/ops/bev_pool_v2/bev_pool.py:86-93 and
+    src/bev_pool_cuda.cu:21-48: for every LSS point i, accumulate
+    depth.flatten()[ranks_depth[i]] * feat.view(-1, C)[ranks_feat[i]] into
+    out.view(-1, C)[ranks_bev[i]], then permute (B, Z, Y, X, C) ->
+    (B, C, Z, Y, X).  interval_starts/lengths partition points by equal
+    ranks_bev, so a plain index_add_ over ranks_bev computes the identical
+    segment sums; autograd supplies the backward (the CUDA re-sort-by-feat
+    backward in bev_pool.py:47-57 computes the same gradients).
+    """
+    c = feat.shape[-1]
+    d = depth.reshape(-1)[ranks_depth.long()]
+    f = feat.reshape(-1, c)[ranks_feat.long()]
+    prod = d.unsqueeze(-1) * f
+    n_cells = 1
+    for s in bev_feat_shape[:-1]:
+        n_cells *= int(s)
+    flat = torch.zeros(n_cells, c, dtype=feat.dtype, device=feat.device)
+    flat = flat.index_add(0, ranks_bev.long(), prod)
+    out = flat.reshape(tuple(int(s) for s in bev_feat_shape))
+    return out.permute(0, 4, 1, 2, 3).contiguous()
+
+
 def install():
     """Register all shim modules in sys.modules (idempotent)."""
     global _installed
@@ -507,6 +641,10 @@ def install():
     transformer.MultiheadAttention = MultiheadAttention
     transformer.FFN = FFN
     bricks.transformer = transformer
+    bricks.__path__ = []  # CustomResNet imports mmcv.cnn.bricks.conv_module
+    conv_module = _module("mmcv.cnn.bricks.conv_module")
+    conv_module.ConvModule = ConvModule
+    bricks.conv_module = conv_module
     cnn.bricks = bricks
     cnn.trunc_normal_init = lambda t, std=0.02, **k: None
     cnn.constant_init = lambda m, val=0, **k: None
@@ -573,6 +711,7 @@ def install():
     mbackbones = _module("mmdet.models.backbones")
     mresnet = _module("mmdet.models.backbones.resnet")
     mresnet.BasicBlock = MMDetBasicBlock
+    mresnet.Bottleneck = MMDetBottleneck
     mbackbones.resnet = mresnet
     mmodels.backbones = mbackbones
     mmdet.models = mmodels
@@ -588,7 +727,7 @@ def install():
     m3dcore.draw_heatmap_gaussian = gaussian.draw_heatmap_gaussian
     m3dcore.draw_heatmap_gaussian_feat = gaussian.draw_heatmap_gaussian_feat
     m3dcore.gaussian_radius = gaussian.gaussian_radius
-    m3dcore.circle_nms = _stub
+    m3dcore.circle_nms = circle_nms
     m3dcore.oval_nms = _stub
 
     def xywhr2xyxyr(boxes_xywhr):
@@ -624,6 +763,13 @@ def install():
     m3dbuilder.build_neck = _make_build(m3dbuilder.NECKS)
     m3dbuilder.build_loss = build_loss
     m3dbuilder.build_head = _make_build(m3dbuilder.HEADS)
+    # mmdet's registries alias the same shared dict (reference
+    # builder.py:34-39 falls back to mmdet's registries; several reference
+    # files register via `from mmdet.models import BACKBONES/NECKS`)
+    mmodels.BACKBONES = m3dbuilder.BACKBONES
+    mmodels.NECKS = m3dbuilder.NECKS
+    mmodels.DETECTORS = m3dbuilder.DETECTORS
+    m3dbuilder.BACKBONES.register_module(name="ResNet", module=MMDetResNet)
     m3dmodels.builder = m3dbuilder
     m3dmodels.utils = _module("mmdet3d.models.utils")
     m3dmodels.utils.clip_sigmoid = clip_sig.clip_sigmoid
@@ -719,12 +865,7 @@ def load_bevdet_rc():
         mres.ResNet = type("ResNet", (nn.Module,), {})
 
     mmcv_ops = _module("mmcv.ops")
-    if not hasattr(mmcv_ops, "Voxelization"):
-        class _Voxelization(nn.Module):
-            def __init__(self, **kw):
-                super().__init__()
-
-        mmcv_ops.Voxelization = _Voxelization
+    mmcv_ops.Voxelization = HardVoxelization
     sys.modules["mmcv"].ops = mmcv_ops
 
     b = sys.modules["mmdet3d.models.builder"]
@@ -745,12 +886,59 @@ def load_bevdet_rc():
     if not hasattr(detpkg, "__path__"):
         detpkg.__path__ = []
     cp = _module("mmdet3d.models.detectors.centerpoint")
-    if not hasattr(cp, "CenterPoint"):
-        class CenterPoint(nn.Module):
-            def __init__(self, **kwargs):
-                super().__init__()
 
-        cp.CenterPoint = CenterPoint
+    class CenterPoint(nn.Module):
+        """Shim of the reference CenterPoint/MVXTwoStageDetector glue the
+        RC detectors inherit (centerpoint.py:85-94, mvx_two_stage.py):
+        builds img_backbone/img_neck/pts_bbox_head from config and runs
+        head forward + get_bboxes in simple_test_pts.  The head, coder and
+        NMS it drives are the REAL reference implementations."""
+
+        def __init__(self, img_backbone=None, img_neck=None,
+                     pts_bbox_head=None, pts_seg_head=None, train_cfg=None,
+                     test_cfg=None, pretrained=None, init_cfg=None, **kw):
+            super().__init__()
+            bld = sys.modules["mmdet3d.models.builder"]
+            if img_backbone is not None:
+                c = dict(img_backbone)
+                c.pop("pretrained", None)
+                self.img_backbone = bld.build_backbone(c)
+            if img_neck is not None:
+                self.img_neck = bld.build_neck(img_neck)
+            if pts_bbox_head is not None:
+                c = dict(pts_bbox_head)
+                c["train_cfg"] = train_cfg["pts"] if train_cfg else None
+                c["test_cfg"] = test_cfg["pts"] if test_cfg else None
+                self.pts_bbox_head = bld.build_head(c)
+            self.pts_seg_head = None
+
+        @property
+        def with_img_backbone(self):
+            return getattr(self, "img_backbone", None) is not None
+
+        @property
+        def with_img_neck(self):
+            return getattr(self, "img_neck", None) is not None
+
+        @property
+        def with_pts_bbox(self):
+            return getattr(self, "pts_bbox_head", None) is not None
+
+        def init_weights(self):
+            pass
+
+        def simple_test_pts(self, x, img_metas, rescale=False):
+            # transcribed from reference centerpoint.py:85-94 (bbox3d2result
+            # inlined: mmdet3d/core/bbox/transforms.py dict packing)
+            outs = self.pts_bbox_head(x)
+            bbox_list = self.pts_bbox_head.get_bboxes(
+                outs, img_metas, rescale=rescale)
+            return [
+                dict(boxes_3d=bboxes, scores_3d=scores, labels_3d=labels)
+                for bboxes, scores, labels in bbox_list
+            ]
+
+    cp.CenterPoint = CenterPoint
     detpkg.centerpoint = cp
 
     if ("mmdet3d.models.model_utils.ops.modules.ms_deform_attn"
@@ -800,3 +988,48 @@ def load_radar_points():
     _module("mmdet3d.core.bbox.structures").utils = su
     _load_by_path("mmdet3d/core/points/base_points.py")
     return _load_by_path("mmdet3d/core/points/radar_points.py")
+
+
+def load_custom_resnet():
+    """Load reference CustomResNet (models/backbones/resnet.py) — the BEV
+    encoder backbone and the pre_process net."""
+    install()
+    return _load_by_path("mmdet3d/models/backbones/resnet.py")
+
+
+def load_custom_fpn():
+    """Load reference CustomFPN (models/necks/fpn.py) — the image neck."""
+    install()
+    return _load_by_path("mmdet3d/models/necks/fpn.py")
+
+
+def load_fpn_lss():
+    """Load reference FPN_LSS (models/necks/lss_fpn.py) — the BEV neck."""
+    install()
+    load_custom_resnet()  # lss_fpn imports ConvModule from it
+    return _load_by_path("mmdet3d/models/necks/lss_fpn.py")
+
+
+def load_full_rc_detector(model_cfg):
+    """Build the ENTIRE reference BEVDepth4D_RC from a config dict, with
+    every sub-module the REAL reference implementation (ResNet/ConvModule/
+    Voxelization/bev_pool/MSDeformAttnFunction are CPU shims/oracles).
+
+    Loads every module file the RC config names so their register_module
+    decorators land in the shared registry, then instantiates the detector
+    exactly like the reference's build_model (mmdet3d/models/builder.py) —
+    the assembled-parity entry point."""
+    mod = load_bevdet_rc()
+    load_custom_resnet()
+    load_custom_fpn()
+    load_fpn_lss()
+    load_view_transformer()
+    load_centerpoint_head()
+    load_radar_encoder()
+    load_pillar_scatter()
+    load_second()
+    load_second_fpn()
+    load_bbox_coder()
+    cfg = dict(model_cfg)
+    t = cfg.pop("type")
+    return getattr(mod, t)(**cfg), mod

@@ -62,14 +62,18 @@ def test_bev_pool_ranks_masks_out_of_range():
         [
             [0.05, 0.05, 0.0],  # cell (0, 0)
             [1.95, 0.05, 0.0],  # cell (1, 0) with nx=2
-            [-0.1, 0.0, 0.0],  # out of range
+            # reference `.long()` binning truncates toward zero: a point up
+            # to one voxel below the lower bound lands IN bin 0
+            # (view_transformer.py:230-238)
+            [-0.1, 0.0, 0.0],  # cell (0, 0) via trunc-toward-zero
+            [-1.1, 0.0, 0.0],  # out of range (truncates to -1)
             [0.0, 0.0, 9.0],  # out of z range
         ]
     )
     ranks = bev_pool_ranks(
         coor, (0.0, 0.0, 0.0), (1.0, 1.0, 8.0), (2, 2, 1)
     )
-    np.testing.assert_array_equal(np.asarray(ranks), [0, 1, 4, 4])
+    np.testing.assert_array_equal(np.asarray(ranks), [0, 1, 0, 4, 4])
 
 
 def test_bev_pool_dense_matches_indexed():

@@ -107,3 +107,63 @@ def test_conv_bn_relu_3x3_fast_matches_slow(rng):
     fastv = m.apply(variables, (f0, f1), train=False, fast=True)
     np.testing.assert_allclose(np.asarray(fastv), np.asarray(slow),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_vmem_budget_fallback_routes_to_xla(rng, monkeypatch):
+    """A tiny RCBEVDET_CONV_VMEM_KIB budget must route the call through
+    the identical-math XLA path instead of building a Pallas call that
+    would blow the scoped-VMEM limit (round-3 bench crash: the f32
+    CAMF-fuser shape staged the whole padded slab in VMEM)."""
+    import jax
+    from rcbevdet_tpu.ops import conv_pallas
+
+    monkeypatch.setenv("RCBEVDET_CONV_VMEM_KIB", "1")
+    calls = []
+    orig = conv_pallas.conv3x3_bn_act_xla
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conv_pallas, "conv3x3_bn_act_xla", spy)
+    x, k, s, b = _case(rng, 1, 8, 8, 8, 8)
+    # interpret=False exercises the fallback branch (which never reaches
+    # pallas_call, so no TPU needed); jit cache is keyed on the env read
+    # at trace time, so use a fresh tile_h to force a retrace
+    out = conv_pallas.conv3x3_bn_act.__wrapped__(
+        x, k, s, b, act="relu", stride=1, tile_h=2, interpret=False
+    )
+    assert calls, "expected XLA fallback under a 1 KiB VMEM budget"
+    ref = orig(x, k, s, b, act="relu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_real_shape_compiles_on_tpu():
+    """AOT-lower + run the kernel at the exact shape that crashed the
+    round-3 driver bench (f32 CAMF fuser input [1,128,128,768] -> 256ch)
+    under the model's 64 MiB scoped-VMEM compiler options.  Skipped off
+    TPU: scoped-VMEM budgets are a TPU-compiler concept (the CPU interpret
+    path can never catch this class of failure)."""
+    import functools
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("real-shape VMEM compile check needs a TPU backend")
+    from rcbevdet_tpu.ops.conv_pallas import (
+        conv3x3_bn_act, conv3x3_bn_act_xla)
+    from rcbevdet_tpu.utils.platform import tpu_compiler_options
+
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.standard_normal((1, 128, 128, 768)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((3, 3, 768, 256)) * 0.02,
+                    jnp.float32)
+    s = jnp.asarray(r.uniform(0.5, 1.5, 256), jnp.float32)
+    b = jnp.asarray(r.standard_normal(256) * 0.1, jnp.float32)
+    f = jax.jit(functools.partial(conv3x3_bn_act, act="relu"))
+    y = f.lower(x, k, s, b).compile(
+        compiler_options=tpu_compiler_options())(x, k, s, b)
+    ref = conv3x3_bn_act_xla(x, k, s, b, act="relu")
+    err = float(jnp.abs(y - ref).max())
+    assert err < 2e-2, err
