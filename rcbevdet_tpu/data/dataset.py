@@ -188,7 +188,14 @@ class NuScenesRCDataset:
             sample["k2s_sensor"] = k2s.astype(np.float32)
 
         # ---- annotations + BDA ----
-        gt_boxes, gt_labels = info["ann_infos"]
+        ann = info["ann_infos"]
+        gt_boxes, gt_labels = ann[0], ann[1]
+        # per-ann GT attribute names, present in pkls written by
+        # tools/create_data.py since the mAAE support ('' = no attribute);
+        # older 2-tuple pkls still load
+        gt_attrs = np.asarray(
+            ann[2] if len(ann) > 2 else [""] * len(gt_labels), dtype=object
+        )
         gt_boxes = np.asarray(gt_boxes, np.float32).reshape(-1, 9)
         gt_labels = np.asarray(gt_labels, np.int64).reshape(-1)
         pasted_radar = None
@@ -196,8 +203,13 @@ class NuScenesRCDataset:
                 and self.is_train):
             # GT-paste BEFORE BDA, like the reference's ObjectSample stage
             # running ahead of GlobalRotScaleTrans (config pipeline order)
+            n_orig = len(gt_labels)
             gt_boxes, gt_labels, pasted_radar = self.object_sampler.sample(
                 gt_boxes, gt_labels
+            )
+            gt_attrs = np.concatenate(
+                [gt_attrs,
+                 np.asarray([""] * (len(gt_labels) - n_orig), object)]
             )
         rot, scale, flip_dx, flip_dy = self.sample_bda()
         gt_boxes, bda = transform_boxes_bda(gt_boxes, rot, scale, flip_dx, flip_dy)
@@ -211,6 +223,7 @@ class NuScenesRCDataset:
                 & (gt_boxes[:, 1] > pcr[1]) & (gt_boxes[:, 1] < pcr[4])
             )
             gt_boxes, gt_labels = gt_boxes[keep], gt_labels[keep]
+            gt_attrs = gt_attrs[keep]
             gt_boxes[:, 6] = limit_period(gt_boxes[:, 6], 0.5, 2 * np.pi)
 
         targets = centerpoint_targets_single(
@@ -226,11 +239,14 @@ class NuScenesRCDataset:
 
         padded_boxes = np.zeros((self.max_objs, 9), np.float32)
         padded_labels = np.full((self.max_objs,), -1, np.int64)
+        padded_attrs = np.asarray([""] * self.max_objs, dtype=object)
         n = min(len(gt_boxes), self.max_objs)
         padded_boxes[:n] = gt_boxes[:n]
         padded_labels[:n] = gt_labels[:n]
+        padded_attrs[:n] = gt_attrs[:n]
         sample["gt_boxes"] = padded_boxes
         sample["gt_labels"] = padded_labels
+        sample["gt_attrs"] = padded_attrs
 
         if self.seg_classes:
             # [H, W, C] rasterized masks (reference LoadBEVSegmentation,
@@ -352,7 +368,9 @@ def collate_samples(samples: List[Dict[str, np.ndarray]]):
     """Stack per-sample dicts into batch arrays (tokens kept as a list)."""
     out = {}
     for key in samples[0]:
-        if key == "token":
+        if key in ("token", "gt_attrs"):
+            # host-side metadata: tokens are strings, gt_attrs are
+            # attribute-name object arrays — never device inputs
             out[key] = [s[key] for s in samples]
         else:
             out[key] = np.stack([s[key] for s in samples])

@@ -35,12 +35,21 @@ def _yaw_to_quaternion(yaw):
 
 
 def _attribute_for(name, velocity):
+    """The reference's speed-based default-attribute rule
+    (nuscenes_dataset_rc.py:433-453): moving vehicles/cycles get the
+    moving attribute; SLOW pedestrians/buses get standing/stopped; all
+    else falls back to the class default."""
     speed = float(np.hypot(velocity[0], velocity[1]))
     if speed > 0.2:
         if name in ("car", "construction_vehicle", "bus", "truck", "trailer"):
             return "vehicle.moving"
         if name in ("bicycle", "motorcycle"):
             return "cycle.with_rider"
+    else:
+        if name == "pedestrian":
+            return "pedestrian.standing"
+        if name == "bus":
+            return "vehicle.stopped"
     return DEFAULT_ATTRIBUTES[name]
 
 

@@ -58,6 +58,7 @@ def make_eval_fn(
             samples = [dataset[i] for i in idxs]
             batch = collate_samples(samples)
             tokens = batch.pop("token")
+            batch.pop("gt_attrs", None)  # host-side metadata, not jittable
             dec = jax.device_get(forward(variables, batch))
             for bi, tok in enumerate(tokens):
                 predictions[tok] = postprocess_sample(
@@ -66,8 +67,10 @@ def make_eval_fn(
                 )
                 gb = samples[bi]["gt_boxes"]
                 gl = samples[bi]["gt_labels"]
+                ga = samples[bi].get(
+                    "gt_attrs", np.asarray([""] * len(gl), object))
                 keep = gl >= 0
-                gts[tok] = (gb[keep], gl[keep])
+                gts[tok] = (gb[keep], gl[keep], list(ga[keep]))
         metrics = evaluate_detections(predictions, gts)
         return {k: float(v) for k, v in metrics.items()}
 

@@ -71,8 +71,10 @@ def _cummean(x):
 def _accumulate(gt_by_sample, pred_list, class_name, dist_th, cfg):
     """Devkit ``accumulate``: greedy score-ordered matching.
 
-    gt_by_sample: {token: list of dict(box=..., taken=False)} for this class.
-    pred_list: list of (score, token, box9) for this class, all samples.
+    gt_by_sample: {token: list of (box9, gt_attr)} for this class
+      (gt_attr '' = GT carries no attribute, excluded from mAAE like the
+      devkit's attr_acc returning NaN).
+    pred_list: list of (score, token, box9, pred_attr) for this class.
     Returns dict of 101-point interpolated curves or None if no GT.
     """
     npos = sum(len(v) for v in gt_by_sample.values())
@@ -85,10 +87,10 @@ def _accumulate(gt_by_sample, pred_list, class_name, dist_th, cfg):
     match_err = {m: [] for m in TP_METRICS}
     period = np.pi if class_name == "barrier" else 2 * np.pi
 
-    for score, tok, box in pred_list:
+    for score, tok, box, pred_attr in pred_list:
         gts = gt_by_sample.get(tok, [])
         best, best_dist = -1, np.inf
-        for gi, gt in enumerate(gts):
+        for gi, (gt, _ga) in enumerate(gts):
             if taken[tok][gi]:
                 continue
             d = np.hypot(box[0] - gt[0], box[1] - gt[1])
@@ -100,7 +102,7 @@ def _accumulate(gt_by_sample, pred_list, class_name, dist_th, cfg):
         fp.append(0.0 if is_match else 1.0)
         if is_match:
             taken[tok][best] = True
-            gt = gts[best]
+            gt, gt_attr = gts[best]
             match_err["trans_err"].append(best_dist)
             match_err["scale_err"].append(1.0 - _scale_iou(box[3:6], gt[3:6]))
             if class_name == "traffic_cone":
@@ -116,13 +118,17 @@ def _accumulate(gt_by_sample, pred_list, class_name, dist_th, cfg):
                 match_err["vel_err"].append(
                     np.hypot(box[7] - gt[7], box[8] - gt[8])
                 )
-                # GT attributes are not stored in the RC info pkls; attr
-                # error is excluded (NaN) here and folds into NDS as the
-                # worst-case 1.0 — see evaluate_detections. TODO(parity):
-                # extend the converter to store GT attributes and score the
-                # reference's default-attribute rule (nuscenes_dataset_rc.py
-                # :394-480) for a faithful mAAE.
-                match_err["attr_err"].append(np.nan)
+                # devkit attr_acc: NaN when the GT has no attribute, else
+                # exact-match accuracy; attr_err = 1 - acc
+                # (nuscenes/eval/common/utils.py attr_acc, scored by
+                # NuScenesEval which the reference delegates to at
+                # nuscenes_dataset_rc.py:481-538)
+                if not gt_attr:
+                    match_err["attr_err"].append(np.nan)
+                else:
+                    match_err["attr_err"].append(
+                        0.0 if pred_attr == gt_attr else 1.0
+                    )
 
     if len(conf) == 0 or sum(tp) == 0:
         return dict(
@@ -181,27 +187,41 @@ def evaluate_detections(
     Args:
       predictions: {sample_token: (boxes [N, 9], scores [N], labels [N])}
         boxes = (x, y, z, dx, dy, dz, yaw, vx, vy), detection frame.
-      ground_truths: {sample_token: (boxes [M, 9], labels [M])}.
+        An optional 4th element gives per-box attribute-name strings;
+        when absent, the reference's speed-based default-attribute rule is
+        applied (nuscenes_dataset_rc.py:433-453 — what _format_bbox writes
+        into the submission JSON the devkit scores).
+      ground_truths: {sample_token: (boxes [M, 9], labels [M])}.  An
+        optional 3rd element gives per-box GT attribute names ('' = none;
+        such GTs are excluded from mAAE like the devkit).  Without GT
+        attributes every attr match is NaN and mAAE folds into NDS as the
+        worst case 1.0.
 
     Returns:
       dict with 'mAP', 'NDS', per-class APs ('AP_<cls>'), mean TP errors
       ('mATE', 'mASE', 'mAOE', 'mAVE', 'mAAE').
     """
+    from .format import _attribute_for
+
     class_names = list(cfg.class_names)
 
     # ---- range-filter + bucket by class ----
     gt_cls = {c: {} for c in class_names}
-    for tok, (boxes, labels) in ground_truths.items():
-        for b, l in zip(np.asarray(boxes), np.asarray(labels)):
+    for tok, entry in ground_truths.items():
+        boxes, labels = entry[0], entry[1]
+        attrs = entry[2] if len(entry) > 2 else [""] * len(labels)
+        for b, l, a in zip(np.asarray(boxes), np.asarray(labels), attrs):
             if l < 0 or l >= len(class_names):
                 continue
             name = class_names[int(l)]
             if np.hypot(b[0], b[1]) > CLASS_RANGES.get(name, 50.0):
                 continue
-            gt_cls[name].setdefault(tok, []).append(b)
+            gt_cls[name].setdefault(tok, []).append((b, a))
 
     pred_cls = {c: [] for c in class_names}
-    for tok, (boxes, scores, labels) in predictions.items():
+    for tok, entry in predictions.items():
+        boxes, scores, labels = entry[0], entry[1], entry[2]
+        attrs = entry[3] if len(entry) > 3 else None
         order = np.argsort(-np.asarray(scores))[: cfg.max_boxes_per_sample]
         for i in order:
             l = int(labels[i])
@@ -211,7 +231,8 @@ def evaluate_detections(
             b = np.asarray(boxes[i])
             if np.hypot(b[0], b[1]) > CLASS_RANGES.get(name, 50.0):
                 continue
-            pred_cls[name].append((float(scores[i]), tok, b))
+            a = attrs[i] if attrs is not None else _attribute_for(name, b[7:9])
+            pred_cls[name].append((float(scores[i]), tok, b, a))
 
     metrics = {}
     aps = {}

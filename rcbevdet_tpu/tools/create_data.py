@@ -141,7 +141,7 @@ def _gt_from_sample(nusc, sample, info):
 
     rot = Quaternion(info["cams"]["CAM_FRONT"]["ego2global_rotation"]).inverse
     trans = -np.asarray(info["cams"]["CAM_FRONT"]["ego2global_translation"])
-    gt_boxes, gt_labels = [], []
+    gt_boxes, gt_labels, gt_attrs = [], [], []
     for ann_token in sample["anns"]:
         ann = nusc.get("sample_annotation", ann_token)
         name = NAME_MAP.get(ann["category_name"], "ignore")
@@ -161,7 +161,14 @@ def _gt_from_sample(nusc, sample, info):
         yaw = box.orientation.yaw_pitch_roll[0]
         gt_boxes.append(np.concatenate([xyz, dxdydz, [yaw], box.velocity[:2]]))
         gt_labels.append(CLASSES.index(name))
-    return gt_boxes, gt_labels
+        # GT attribute name ('' when the ann carries none) — what
+        # NuScenesEval scores mAAE against; nuScenes anns have 0 or 1
+        # attribute tokens
+        ats = ann.get("attribute_tokens", [])
+        gt_attrs.append(
+            nusc.get("attribute", ats[0])["name"] if ats else ""
+        )
+    return gt_boxes, gt_labels, gt_attrs
 
 
 def create_infos(root, version="v1.0-trainval", max_radar_sweeps=8):

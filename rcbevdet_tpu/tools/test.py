@@ -78,6 +78,7 @@ def main(argv=None):
     sample = dataset[0]
     batch0 = collate_samples([sample])
     batch0.pop("token", None)
+    batch0.pop("gt_attrs", None)
     variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
     if args.checkpoint:
         from ..training.train_step import TrainState, create_train_state, make_optimizer
@@ -112,6 +113,7 @@ def main(argv=None):
         samples = [dataset[i] for i in idxs]
         batch = collate_samples(samples)
         tokens = batch.pop("token")
+        batch.pop("gt_attrs", None)  # host-side metadata, not jittable
         dec = jax.device_get(forward(variables, batch))
         for bi, tok in enumerate(tokens):
             predictions[tok] = postprocess_sample(
@@ -119,8 +121,10 @@ def main(argv=None):
                 test_cfg,
             )
             gb, gl = samples[bi]["gt_boxes"], samples[bi]["gt_labels"]
+            ga = samples[bi].get(
+                "gt_attrs", np.asarray([""] * len(gl), object))
             keep = gl >= 0
-            gts[tok] = (gb[keep], gl[keep])
+            gts[tok] = (gb[keep], gl[keep], list(ga[keep]))
         logging.info("evaluated %d/%d", min(start + args.batch_size, n), n)
 
     if args.out:

@@ -97,6 +97,7 @@ class Runner:
 
             batch = collate_samples([sample] * batch_size)
             batch.pop("token", None)
+            batch.pop("gt_attrs", None)
             init_variables = model.init(
                 jax.random.PRNGKey(seed),
                 jax.tree_util.tree_map(lambda x: x[:1], batch),
@@ -170,6 +171,7 @@ class Runner:
             t0 = time.time()
             for it, batch in enumerate(self.loader):
                 batch.pop("token", None)
+                batch.pop("gt_attrs", None)
                 batch = shard_host_local_batch(self.mesh, batch)
                 self.state, metrics = step_fn(self.state, batch)
                 global_step += 1

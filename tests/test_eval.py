@@ -82,3 +82,65 @@ def test_format_results_global_frame():
     np.testing.assert_allclose(ann["translation"][0], 31.0, atol=1e-5)
     assert ann["attribute_name"] == "vehicle.moving"  # speed > 0.2
     assert ann["size"] == [4.0, 2.0, 1.5]  # wlh ordering
+
+
+def test_maae_hand_computed_on_attributed_gt():
+    """Hand-computed mAAE: predictions carry no explicit attributes, so the
+    evaluator applies the reference's speed-based default rule
+    (nuscenes_dataset_rc.py:433-453) before comparing with GT attributes
+    exactly like NuScenesEval's attr_acc (NaN when the GT has none).
+
+    Per-class attr curves are kept CONSTANT so the devkit's
+    recall-interpolated TP average is hand-computable exactly:
+      car:   both matches hit the GT attribute        -> attr curve 0.0
+      truck: one miss + one attribute-less GT (NaN)   -> attr curve 1.0
+      mAAE = mean(0, 1) = 0.5
+    """
+    car = np.stack([_box(0, 0), _box(10, 0, vel=(2.0, 0))])
+    truck = np.stack([_box(0, 10, vel=(3.0, 0)), _box(-10, 0)])
+    # car preds: still on parked GT -> 'vehicle.parked' hit; fast on moving
+    # GT -> 'vehicle.moving' hit.  truck preds: still on the moving GT ->
+    # 'vehicle.parked' MISS; anything on the NaN GT is excluded.
+    truck_pred = truck.copy()
+    truck_pred[0, 7:9] = 0.0
+    boxes = np.concatenate([car, truck])
+    pred_boxes = np.concatenate([car.copy(), truck_pred])
+    labels = np.array([0, 0, 1, 1], np.int64)
+    gts = {"a": (boxes, labels,
+                 ["vehicle.parked", "vehicle.moving", "vehicle.moving", ""])}
+    preds = {"a": (pred_boxes, np.array([0.9, 0.8, 0.7, 0.6]), labels)}
+    m = evaluate_detections(preds, gts)
+    np.testing.assert_allclose(m["mAAE"], 0.5, rtol=1e-6)
+    assert m["mATE"] < 1e-6
+
+
+def test_maae_explicit_pred_attributes_and_slow_branch():
+    """Explicit prediction attributes bypass the default rule; the slow
+    branch of the rule maps pedestrian->standing and bus->stopped."""
+    from rcbevdet_tpu.evaluation.format import _attribute_for
+
+    assert _attribute_for("pedestrian", (0.0, 0.0)) == "pedestrian.standing"
+    assert _attribute_for("bus", (0.1, 0.0)) == "vehicle.stopped"
+    assert _attribute_for("bus", (1.0, 0.0)) == "vehicle.moving"
+    assert _attribute_for("pedestrian", (1.0, 0.0)) == "pedestrian.moving"
+
+    boxes = np.stack([_box(0, 0)])
+    labels = np.zeros(1, np.int64)
+    gts = {"a": (boxes, labels, ["vehicle.moving"])}
+    # geometry says parked, but the explicit attribute says moving -> hit
+    preds = {"a": (boxes.copy(), np.array([0.9]), labels,
+                   ["vehicle.moving"])}
+    m = evaluate_detections(preds, gts)
+    np.testing.assert_allclose(m["mAAE"], 0.0, atol=1e-9)
+
+
+def test_maae_without_gt_attrs_folds_worst_case():
+    """Legacy 2-tuple GT (no attributes): every attr match is NaN and mAAE
+    reports the worst case 1.0, keeping NDS comparable to older runs."""
+    boxes = np.stack([_box(0, 0)])
+    labels = np.zeros(1, np.int64)
+    m = evaluate_detections(
+        {"a": (boxes.copy(), np.array([0.9]), labels)},
+        {"a": (boxes, labels)},
+    )
+    assert m["mAAE"] == 1.0
