@@ -51,6 +51,34 @@ def rope_freqs(dim: int, pt_seq_len: int, ft_seq_len: int):
     return jnp.cos(full), jnp.sin(full)
 
 
+def _torch_bicubic_matrix(src: int, dst: int, a: float = -0.75):
+    """[dst, src] torch-style bicubic interpolation matrix
+    (F.interpolate mode='bicubic', align_corners=False): 4-tap cubic
+    convolution with coefficient a=-0.75, border indices clamped, no
+    anti-aliasing.  Built with numpy at trace time (static shapes)."""
+    import numpy as np
+
+    w = np.zeros((dst, src), np.float32)
+    scale = src / dst
+
+    def kern(d):
+        d = abs(d)
+        if d <= 1:
+            return (a + 2) * d**3 - (a + 3) * d**2 + 1
+        if d < 2:
+            return a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a
+        return 0.0
+
+    for o in range(dst):
+        c = (o + 0.5) * scale - 0.5
+        f = math.floor(c)
+        t = c - f
+        for m in range(-1, 3):
+            idx = min(max(f + m, 0), src - 1)
+            w[o, idx] += kern(t - m)
+    return w
+
+
 def _rotate_half(x):
     """Interleaved pair rotation: (x1, x2) -> (-x2, x1)."""
     x = x.reshape(*x.shape[:-1], -1, 2)
@@ -220,10 +248,16 @@ class ViT(nn.Module):
             if self.pretrain_use_cls_token:
                 pos = pos[:, 1:]
             pos = pos.reshape(1, pre, pre, self.embed_dim)
-            # bicubic interp onto the fine-tune grid (get_abs_pos)
-            pos = jax.image.resize(
-                pos, (1, h, w, self.embed_dim), method="bicubic"
-            )
+            # bicubic interp onto the fine-tune grid (get_abs_pos) with
+            # torch's kernel: a separable matrix built host-side — torch
+            # F.interpolate uses cubic-convolution a=-0.75 WITHOUT
+            # anti-aliasing, while jax.image.resize uses the Keys a=-0.5
+            # kernel and anti-aliases on downscale (diffs up to ~1.9 on a
+            # 14x14 -> 2x4 resize); interpolation stays linear in the
+            # learned pos table, so gradients flow through the einsum
+            wh = jnp.asarray(_torch_bicubic_matrix(pre, h))
+            ww = jnp.asarray(_torch_bicubic_matrix(pre, w))
+            pos = jnp.einsum("oi,pj,bijc->bopc", wh, ww, pos)
             x = x + pos
 
         block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
@@ -267,16 +301,21 @@ class SimpleFeaturePyramid(nn.Module):
             y = feat
             if scale == 4.0:
                 y = nn.ConvTranspose(
-                    dim // 2, (2, 2), strides=(2, 2), name=f"{name}_up1"
+                    dim // 2, (2, 2), strides=(2, 2), transpose_kernel=True,
+                    name=f"{name}_up1",
                 )(y)
                 y = nn.LayerNorm(epsilon=1e-6, name=f"{name}_ln_up")(y)
                 y = nn.gelu(y, approximate=False)
                 y = nn.ConvTranspose(
-                    dim // 4, (2, 2), strides=(2, 2), name=f"{name}_up2"
+                    dim // 4, (2, 2), strides=(2, 2), transpose_kernel=True,
+                    name=f"{name}_up2",
                 )(y)
             elif scale == 2.0:
+                # transpose_kernel=True: the torch ConvTranspose2d IOHW ->
+                # HWOI layout the checkpoint converter emits
                 y = nn.ConvTranspose(
-                    dim // 2, (2, 2), strides=(2, 2), name=f"{name}_up1"
+                    dim // 2, (2, 2), strides=(2, 2), transpose_kernel=True,
+                    name=f"{name}_up1",
                 )(y)
             elif scale == 1.0:
                 pass

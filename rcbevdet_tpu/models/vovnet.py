@@ -107,8 +107,22 @@ class VoVNetV2(nn.Module):
         outs = []
         for s in range(4):
             if s > 0:
+                # torch MaxPool2d(3, stride=2, ceil_mode=True) semantics
+                # (vovnet.py:248): windows START at 0 (no left padding) and
+                # ceil_mode appends a final clipped window; a symmetric
+                # pad=1 pool shifts every window by one and changes values
+                h, w = x.shape[1:3]
+                oh = -(-(h - 1) // 2)  # ceil((h-3)/2)+1
+                ow = -(-(w - 1) // 2)
+                pad_h = max(0, 2 * (oh - 1) + 3 - h)
+                pad_w = max(0, 2 * (ow - 1) + 3 - w)
                 x = nn.max_pool(
-                    x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                    jnp.pad(
+                        x,
+                        ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        constant_values=-jnp.inf,
+                    ),
+                    (3, 3), strides=(2, 2),
                 )
             for b in range(blocks[s]):
                 x = OSAModule(

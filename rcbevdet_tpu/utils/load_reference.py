@@ -47,6 +47,33 @@ RULES: List[Tuple[str, str]] = [
      _CAM + r"img_backbone/layer\1_\2/downsample_conv/kernel"),
     (r"^img_backbone\.layer(\d+)\.(\d+)\.downsample\.1\.(\w+)$",
      _CAM + r"img_backbone/layer\1_\2/downsample_bn/@bn3"),
+    # ---- image backbone (ViT-L, models/backbones/vit.py:350-751:
+    # SimpleFeaturePyramidForViT wrapping ViT; EVA-02 blocks with separate
+    # q/k/v projections, q/v bias Parameters, SwiGLU mlp, simfp stages) ----
+    (r"^img_backbone\.net\.patch_embed\.proj\.(weight|bias)$",
+     _CAM + r"img_backbone/net/patch_embed/@conv1"),
+    (r"^img_backbone\.net\.pos_embed$",
+     _CAM + r"img_backbone/net/pos_embed"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.norm(\d)\.(weight|bias)$",
+     _CAM + r"img_backbone/net/block\1/norm\2/@ln3"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.attn\.([qkv])_proj\.weight$",
+     _CAM + r"img_backbone/net/block\1/\2_proj/kernel"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.attn\.([qv])_bias$",
+     _CAM + r"img_backbone/net/block\1/\2_proj/bias"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.mlp\.w(\d)\.(weight|bias)$",
+     _CAM + r"img_backbone/net/block\1/mlp/w\2/@dense3"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.mlp\.ffn_ln\.(weight|bias)$",
+     _CAM + r"img_backbone/net/block\1/mlp/ffn_ln/@ln2"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.residual\.conv(\d)\.weight$",
+     _CAM + r"img_backbone/net/block\1/residual/conv\2/kernel"),
+    (r"^img_backbone\.net\.blocks\.(\d+)\.residual\.norm(\d)\.(weight|bias)$",
+     _CAM + r"img_backbone/net/block\1/residual/norm\2/@ln3"),
+    # rope cos/sin tables are deterministic buffers, rebuilt from config
+    (r"^img_backbone\.net\.(?:blocks\.\d+\.attn\.)?rope(?:_win|_glb)?\."
+     r"freqs_(?:cos|sin)$", "@skip"),
+    (r"^img_backbone\.simfp_(\d+)\.(\d+)\.norm\.(weight|bias)$",
+     "@simfp_norm"),
+    (r"^img_backbone\.simfp_(\d+)\.(\d+)\.(weight|bias)$", "@simfp_conv"),
     # ---- image backbone (Swin, models/backbones/swin.py) ----
     (r"^img_backbone\.patch_embed\.projection\.(weight|bias)$",
      _CAM + r"img_backbone/patch_embed_proj/@conv1"),
@@ -297,6 +324,27 @@ def map_reference_key(key: str, second_layer_nums=(3, 5, 5)) -> Optional[Tuple[s
             return (
                 "radar_bev_backbone", f"block{blk}_bn{seq // 3}", _bn(leaf)
             )
+        if template in ("@simfp_conv", "@simfp_norm"):
+            # SimpleFeaturePyramid stage Sequentials (vit.py:625-667): the
+            # torch module index within simfp_<stage> depends on the
+            # stage's scale factor; map to this repo's named modules.
+            stage, idx, leaf = int(groups[0]), int(groups[1]), groups[2]
+            names_by_stage = {
+                2: {0: "up1", 1: "ln_up", 3: "up2", 4: "lateral", 5: "out"},
+                3: {0: "up1", 1: "lateral", 2: "out"},
+                4: {0: "lateral", 1: "out"},
+                5: {1: "lateral", 2: "out"},
+            }
+            local = names_by_stage.get(stage, {}).get(idx)
+            if local is None:
+                return None
+            if template == "@simfp_norm":
+                local = {"lateral": "lateral_ln", "out": "out_ln"}[local]
+            if local in ("ln_up", "lateral_ln", "out_ln"):
+                leaf = {"weight": "scale", "bias": "bias"}[leaf]
+            else:
+                leaf = {"weight": "kernel", "bias": "bias"}[leaf]
+            return ("camera", "img_backbone", f"simfp_{stage}_{local}", leaf)
         out = template
         # positional group substitution
         for gi, g in enumerate(groups, start=1):

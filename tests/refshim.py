@@ -1033,3 +1033,240 @@ def load_full_rc_detector(model_cfg):
     cfg = dict(model_cfg)
     t = cfg.pop("type")
     return getattr(mod, t)(**cfg), mod
+
+
+# ------------------------------------------- detectron2 / EVA shims (ViT)
+class D2LayerNorm(nn.Module):
+    """detectron2.layers.LayerNorm: channels-FIRST LayerNorm for NCHW
+    tensors (normalizes dim 1 per spatial position)."""
+
+    def __init__(self, normalized_shape, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(normalized_shape))
+        self.bias = nn.Parameter(torch.zeros(normalized_shape))
+        self.eps = eps
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + self.eps)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+class FrozenBatchNorm2d(nn.Module):
+    """detectron2 FrozenBatchNorm2d: BN with fixed affine + stats."""
+
+    def __init__(self, num_features, eps=1e-5):
+        super().__init__()
+        self.register_buffer("weight", torch.ones(num_features))
+        self.register_buffer("bias", torch.zeros(num_features))
+        self.register_buffer("running_mean", torch.zeros(num_features))
+        self.register_buffer("running_var", torch.ones(num_features))
+        self.eps = eps
+
+    def forward(self, x):
+        scale = self.weight * (self.running_var + self.eps).rsqrt()
+        bias = self.bias - self.running_mean * scale
+        return x * scale[None, :, None, None] + bias[None, :, None, None]
+
+
+def d2_get_norm(norm, out_channels):
+    if norm == "" or norm is None or norm is False:
+        return None
+    if norm == "LN":
+        return D2LayerNorm(out_channels)
+    if norm in ("BN", "SyncBN"):
+        return nn.BatchNorm2d(out_channels)
+    if norm == "FrozenBN":
+        return FrozenBatchNorm2d(out_channels)
+    raise KeyError(norm)
+
+
+class D2Conv2d(nn.Conv2d):
+    """detectron2.layers.Conv2d: nn.Conv2d with fused norm/activation."""
+
+    def __init__(self, *args, norm=None, activation=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.norm = norm
+        self.activation = activation
+
+    def forward(self, x):
+        x = super().forward(x)
+        if self.norm is not None:
+            x = self.norm(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class D2CNNBlockBase(nn.Module):
+    def __init__(self, in_channels, out_channels, stride):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.stride = stride
+
+
+class D2LastLevelMaxPool(nn.Module):
+    num_levels = 1
+    in_feature = "p5"
+
+    def forward(self, x):
+        return [torch.nn.functional.max_pool2d(x, 1, stride=2, padding=0)]
+
+
+class D2ShapeSpec:
+    def __init__(self, channels=None, stride=None):
+        self.channels = channels
+        self.stride = stride
+
+
+class D2PatchEmbed(nn.Module):
+    """ViTDet PatchEmbed: conv then NHWC permute."""
+
+    def __init__(self, kernel_size=(16, 16), stride=(16, 16), padding=(0, 0),
+                 in_chans=3, embed_dim=768):
+        super().__init__()
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=kernel_size,
+                              stride=stride, padding=padding)
+
+    def forward(self, x):
+        return self.proj(x).permute(0, 2, 3, 1)
+
+
+def d2_window_partition(x, window_size):
+    """ViTDet window partition with zero padding."""
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h > 0 or pad_w > 0:
+        x = torch.nn.functional.pad(x, (0, 0, 0, pad_w, 0, pad_h))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.view(B, Hp // window_size, window_size, Wp // window_size,
+               window_size, C)
+    windows = (
+        x.permute(0, 1, 3, 2, 4, 5).contiguous()
+        .view(-1, window_size, window_size, C)
+    )
+    return windows, (Hp, Wp)
+
+
+def d2_window_unpartition(windows, window_size, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.view(B, Hp // window_size, Wp // window_size, window_size,
+                     window_size, -1)
+    x = x.permute(0, 1, 3, 2, 4, 5).contiguous().view(B, Hp, Wp, -1)
+    if Hp > H or Wp > W:
+        x = x[:, :H, :W, :].contiguous()
+    return x
+
+
+def d2_get_abs_pos(abs_pos, has_cls_token, hw):
+    """ViTDet get_abs_pos: drop cls token, bicubic resize onto (h, w)."""
+    h, w = hw
+    if has_cls_token:
+        abs_pos = abs_pos[:, 1:]
+    xy_num = abs_pos.shape[1]
+    size = int(math.sqrt(xy_num))
+    assert size * size == xy_num
+    if size != h or size != w:
+        new_abs_pos = torch.nn.functional.interpolate(
+            abs_pos.reshape(1, size, size, -1).permute(0, 3, 1, 2),
+            size=(h, w), mode="bicubic", align_corners=False,
+        )
+        return new_abs_pos.permute(0, 2, 3, 1)
+    return abs_pos.reshape(1, h, w, -1)
+
+
+def _eva_rotate_half(x):
+    """EVA rope pair rotation on interleaved pairs."""
+    x = x.reshape(*x.shape[:-1], -1, 2)
+    x1, x2 = x[..., 0], x[..., 1]
+    return torch.stack((-x2, x1), dim=-1).reshape(*x.shape[:-2], -1)
+
+
+class EVAVisionRotaryEmbeddingFast(nn.Module):
+    """EVA-02 VisionRotaryEmbeddingFast (2D axial rope, interleaved
+    pairs, fine-tune grid rescaled onto the pretrain sequence length)."""
+
+    def __init__(self, dim, pt_seq_len=16, ft_seq_len=None, theta=10000):
+        super().__init__()
+        freqs = 1.0 / (
+            theta ** (torch.arange(0, dim, 2)[: dim // 2].float() / dim)
+        )
+        if ft_seq_len is None:
+            ft_seq_len = pt_seq_len
+        t = torch.arange(ft_seq_len).float() / ft_seq_len * pt_seq_len
+        freqs = torch.einsum("i,j->ij", t, freqs)
+        freqs = freqs.repeat_interleave(2, dim=-1)  # [ft, dim]
+        fh = freqs[:, None, :].expand(ft_seq_len, ft_seq_len, freqs.shape[-1])
+        fw = freqs[None, :, :].expand(ft_seq_len, ft_seq_len, freqs.shape[-1])
+        full = torch.cat((fh, fw), dim=-1)  # [ft, ft, 2*dim]
+        self.register_buffer("freqs_cos", full.cos().view(-1, 2 * dim))
+        self.register_buffer("freqs_sin", full.sin().view(-1, 2 * dim))
+
+    def forward(self, t):
+        return t * self.freqs_cos + _eva_rotate_half(t) * self.freqs_sin
+
+
+def load_vit():
+    """Load the reference ViT/SimpleFeaturePyramidForViT file
+    (models/backbones/vit.py) with its detectron2/EVA dependencies shimmed
+    to their public upstream implementations.
+
+    NOTE on the attention core: the file's Attention.forward is flash-attn
+    + CUDA only (vit.py:118-124 asserts q.is_cuda), AND its Block.forward
+    permutes q/k/v to [B, heads, N, hd] (vit.py:322-325) before a
+    rearrange that hands flash-attn the HEAD axis as the sequence axis —
+    dead code in the reference repo (ViT is commented out of
+    backbones/__init__.py) that was never runnable as shipped.  Parity
+    tests therefore patch Attention.forward with a CPU SDPA implementing
+    the published ViTDet/EVA semantics (attend over tokens per head),
+    which is also what this repo's models/vit.py implements."""
+    install()
+    fv = _module("fvcore")
+    fvnn = _module("fvcore.nn")
+    fvwi = _module("fvcore.nn.weight_init")
+    fvwi.c2_msra_fill = lambda m: None
+    fvnn.weight_init = fvwi
+    fv.nn = fvnn
+
+    d2 = _module("detectron2")
+    d2l = _module("detectron2.layers")
+    d2l.CNNBlockBase = D2CNNBlockBase
+    d2l.Conv2d = D2Conv2d
+    d2l.get_norm = d2_get_norm
+    d2l.ShapeSpec = D2ShapeSpec
+    d2.layers = d2l
+    d2m = _module("detectron2.modeling")
+    d2b = _module("detectron2.modeling.backbone")
+    d2fpn = _module("detectron2.modeling.backbone.fpn")
+    d2fpn._assert_strides_are_log2_contiguous = lambda strides: None
+    d2fpn.LastLevelMaxPool = D2LastLevelMaxPool
+    d2u = _module("detectron2.modeling.backbone.utils")
+    d2u.PatchEmbed = D2PatchEmbed
+    d2u.add_decomposed_rel_pos = _stub
+    d2u.get_abs_pos = d2_get_abs_pos
+    d2u.window_partition = d2_window_partition
+    d2u.window_unpartition = d2_window_unpartition
+    d2u.VisionRotaryEmbeddingFast = EVAVisionRotaryEmbeddingFast
+    d2b.fpn = d2fpn
+    d2b.utils = d2u
+    d2m.backbone = d2b
+    d2.modeling = d2m
+
+    return _load_by_path("mmdet3d/models/backbones/vit.py")
+
+
+def load_vovnet():
+    """Load the reference VoVNet (models/backbones/vovnet.py) with its
+    detectron2/fvcore dependencies shimmed (the V2-99 backbone of the
+    larger RC configs; commented out of the registry in the reference,
+    backbones/__init__.py:18)."""
+    load_vit()  # installs the fvcore/detectron2 shim modules
+    d2l = sys.modules["detectron2.layers"]
+    d2l.FrozenBatchNorm2d = FrozenBatchNorm2d
+    d2l.get_norm = d2_get_norm
+    return _load_by_path("mmdet3d/models/backbones/vovnet.py")
