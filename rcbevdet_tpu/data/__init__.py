@@ -3,6 +3,12 @@ from .image_pipeline import ImageAugConfig, prepare_image_inputs, sample_image_a
 from .radar_pipeline import load_radar_sweeps, pad_radar_points
 from .depth_gt import points_to_depth_maps
 from .dataset import NuScenesRCDataset, cbgs_indices, collate_samples
+from .samplers import (
+    DistributedGroupSampler,
+    InfiniteGroupStreamSampler,
+    scene_flags,
+)
+from .map_masks import nuscenes_map_mask_fn, polygon_map_mask_fn
 from .synthetic import synthetic_batch, synthetic_sample
 
 __all__ = [
@@ -16,6 +22,11 @@ __all__ = [
     "NuScenesRCDataset",
     "cbgs_indices",
     "collate_samples",
+    "DistributedGroupSampler",
+    "InfiniteGroupStreamSampler",
+    "scene_flags",
+    "nuscenes_map_mask_fn",
+    "polygon_map_mask_fn",
     "synthetic_batch",
     "synthetic_sample",
 ]

@@ -54,6 +54,10 @@ class PrefetchLoader:
             start, size = local_slice
             assert 0 <= start and start + size <= batch_size
         self.local_slice = local_slice
+        # optional externally-provided batch schedule (list of global index
+        # lists), e.g. from data/samplers.py InfiniteGroupStreamSampler —
+        # overrides the shuffled schedule for the next iteration(s)
+        self.batch_schedule = None
 
     def __len__(self):
         n = len(self.indices) // self.batch_size
@@ -63,15 +67,18 @@ class PrefetchLoader:
 
     def _batches(self) -> List[List[int]]:
         """Global batch schedule — identical on every host (seeded rng)."""
-        idx = list(self.indices)
-        if self.shuffle:
-            self.rng.shuffle(idx)
-        out = [
-            idx[i : i + self.batch_size]
-            for i in range(0, len(idx), self.batch_size)
-        ]
-        if self.drop_last and out and len(out[-1]) < self.batch_size:
-            out.pop()
+        if self.batch_schedule is not None:
+            out = [list(b) for b in self.batch_schedule]
+        else:
+            idx = list(self.indices)
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            out = [
+                idx[i : i + self.batch_size]
+                for i in range(0, len(idx), self.batch_size)
+            ]
+            if self.drop_last and out and len(out[-1]) < self.batch_size:
+                out.pop()
         if self.local_slice is not None:
             start, size = self.local_slice
             out = [b[start : start + size] for b in out]

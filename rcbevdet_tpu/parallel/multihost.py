@@ -37,11 +37,18 @@ def initialize(coordinator_address: Optional[str] = None,
         except Exception:
             return False
         return True
+    if coordinator_address is None:
+        coordinator_address = os.environ["JAX_COORDINATOR_ADDRESS"]
+    if num_processes is None:
+        num_processes = int(env_n)
+    if process_id is None:
+        # NOTE: must be an `is None` check — `process_id or env[...]`
+        # would misroute RANK 0 (falsy) to the env var
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
-        coordinator_address=coordinator_address
-        or os.environ["JAX_COORDINATOR_ADDRESS"],
-        num_processes=num_processes or int(env_n),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 

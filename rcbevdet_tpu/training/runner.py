@@ -53,6 +53,7 @@ class Runner:
         init_variables=None,
         auto_resume=True,
         cumulative_iters=1,
+        sampler="shuffle",
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -72,9 +73,26 @@ class Runner:
 
         self.mesh = mesh or create_mesh()
         rng = np.random.default_rng(seed)
-        self.indices = (
-            cbgs_indices(dataset, rng) if use_cbgs else list(range(len(dataset)))
-        )
+        # 'group_stream' = per-slot continuous scene streaming (reference
+        # InfiniteGroupEachSampleInBatchSampler, group_sampler.py:154);
+        # mutually exclusive with CBGS resampling like the reference
+        self.sampler_kind = sampler
+        self.group_sampler = None
+        if sampler == "group_stream":
+            from ..data.samplers import (
+                InfiniteGroupStreamSampler,
+                scene_flags,
+            )
+
+            self.group_sampler = InfiniteGroupStreamSampler(
+                scene_flags(dataset), batch_size, seed=seed
+            )
+            self.indices = list(range(len(dataset)))
+        else:
+            self.indices = (
+                cbgs_indices(dataset, rng) if use_cbgs
+                else list(range(len(dataset)))
+            )
         self.steps_per_epoch = max(len(self.indices) // batch_size, 1)
         # schedules advance once per optimizer APPLY (make_optimizer docs)
         total_steps = max(
@@ -168,6 +186,12 @@ class Runner:
                 log.info("epoch %d: object-sample augmentation faded out",
                          epoch)
             step_fn = self._get_step(with_prev)
+            if self.group_sampler is not None:
+                # scene streams persist ACROSS epochs: each epoch takes the
+                # next steps_per_epoch batches of the infinite schedule
+                self.loader.batch_schedule = self.group_sampler.take(
+                    self.steps_per_epoch
+                )
             t0 = time.time()
             for it, batch in enumerate(self.loader):
                 batch.pop("token", None)
