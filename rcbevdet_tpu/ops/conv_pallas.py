@@ -215,7 +215,16 @@ def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
 
 def conv3x3_bn_act_auto(x, kernel, scale, bias, act="relu", residual=None,
                         stride=1):
-    """Pallas kernel on TPU, identical-math XLA elsewhere."""
+    """Pallas kernel on TPU, identical-math XLA elsewhere.
+
+    Isolated-vs-in-graph caution (r4 measurement): ISOLATED XLA beats the
+    Pallas kernel at narrow/strided shapes (80ch 128x128: 0.055 vs 0.143
+    ms; 720->160 s2: 0.202 vs 0.444 ms) — but routing those shapes to XLA
+    IN-GRAPH regressed the full forward (+0.4 ms on those very modules and
+    +0.25 ms on untouched neighbors): the layout cliff the round-2 profile
+    found is a property of the surrounding graph, not the op.  Keep every
+    fast-path call on the Pallas kernel; it pins its boundary layouts.
+    """
     if jax.default_backend() == "tpu":
         return conv3x3_bn_act(x, kernel, scale, bias, act=act,
                               residual=residual, stride=stride)

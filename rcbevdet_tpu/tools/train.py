@@ -174,6 +174,7 @@ def main(argv=None):
         step_fn = runner._get_step(True)
         batch = collate_samples([dataset[0]] * batch_size)
         batch.pop("token", None)
+        batch.pop("gt_attrs", None)  # host-side eval metadata, not jax-able
         batch = shard_batch(runner.mesh, batch)
         for _ in range(2):
             runner.state, metrics = step_fn(runner.state, batch)
