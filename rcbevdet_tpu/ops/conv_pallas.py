@@ -84,28 +84,38 @@ def _conv_kernel(x_ref, w_ref, s_ref, b_ref, *rest, tile_h, w_out, act,
     _epilogue(acc, s_ref, b_ref, r_ref, act, o_ref)
 
 
-def _conv_s2_kernel(x_ref, w_ref, s_ref, b_ref, *rest, tile_h, w_out, act,
-                    has_res):
+def _conv_s2_kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, s_ref, b_ref,
+                    *rest, tile_h, w_out, act, has_res):
+    """Stride-2 over PRE-SPLIT row/col phases (XLA slices them outside).
+
+    Each tap (ky, kx) reads phase (ky&1, kx&1) at row offset ky>>1, col
+    offset kx>>1 — unit-stride flat slices of a per-phase tile, exactly
+    like the stride-1 kernel's shifted-row trick, with no in-kernel
+    even/odd reshuffles (the reshape-phase form ran at ~19 G/ms vs XLA's
+    42 at 720->160; pre-splitting removes the sublane shuffles)."""
     r_ref, o_ref = (rest[0], rest[1]) if has_res else (None, rest[0])
-    cin = x_ref.shape[-1]
+    cin = p00_ref.shape[-1]
     cout = o_ref.shape[-1]
-    wp2 = x_ref.shape[-2] // 2  # (W+2)/2
-    rows = x_ref[0]  # [2*th+4, W+2, Cin] halo row-block (pl.Element)
-    ph = rows.reshape(tile_h + 2, 2, wp2, 2, cin)
+    # w_out + 2 phase columns: one genuine halo column plus one pad column
+    # keeping the width EVEN — Mosaic rejects the flattening reshape when
+    # the collapsed minor-2 dim is odd ("unsupported shape cast" at 65)
+    wq = p00_ref.shape[-2]
+    phases = (p00_ref, p01_ref, p10_ref, p11_ref)
+    flats = [p[0].reshape((tile_h + 2) * wq, cin) for p in phases]
+    rlen = tile_h * wq
     prec = (jax.lax.Precision.HIGHEST
-            if x_ref.dtype == jnp.float32 else None)
-    acc = jnp.zeros((tile_h * w_out, cout), jnp.float32)
+            if p00_ref.dtype == jnp.float32 else None)
+    acc = jnp.zeros((rlen, cout), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            tap = ph[
-                ky >> 1 : (ky >> 1) + tile_h, ky & 1,
-                kx >> 1 : (kx >> 1) + w_out, kx & 1,
-            ].reshape(tile_h * w_out, cin)
+            flat = flats[(ky & 1) * 2 + (kx & 1)]
+            off = (ky >> 1) * wq + (kx >> 1)
             acc = acc + jax.lax.dot_general(
-                tap, w_ref[ky, kx], (((1,), (0,)), ((), ())),
+                flat[off : off + rlen], w_ref[ky, kx],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-    acc = acc.reshape(tile_h, w_out, cout)
+    acc = acc.reshape(tile_h, wq, cout)[:, :w_out]
     _epilogue(acc, s_ref, b_ref, r_ref, act, o_ref)
 
 
@@ -149,12 +159,14 @@ def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
     w_bytes = 9 * cin * cout * isz
 
     def _footprint(th):
-        rows = th + 3 if stride == 1 else 2 * th + 4
-        in_block = rows * (w + 2) * cin * isz
+        if stride == 1:
+            in_blocks = (th + 3) * (w + 2) * cin * isz
+        else:  # 4 phase tiles
+            in_blocks = 4 * (th + 2) * (w // 2 + 2) * cin * isz
         out_block = th * w_out * cout * isz
-        acc = th * ((w_out + 2) if stride == 1 else w_out) * cout * 4
+        acc = th * (w_out + 2) * cout * 4
         res = out_block if residual is not None else 0
-        return 3 * in_block + w_bytes + acc + 2 * out_block + res
+        return 3 * in_blocks + w_bytes + acc + 2 * out_block + res
 
     while tile_h > 1 and _footprint(tile_h) > budget:
         tile_h //= 2
@@ -165,25 +177,42 @@ def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
                                   residual=residual, stride=stride)
     s2 = scale.astype(jnp.float32).reshape(1, cout)
     b2 = bias.astype(jnp.float32).reshape(1, cout)
-    if stride == 1:
-        xp = jnp.pad(x, ((0, 0), (1, 2), (1, 1), (0, 0)))
-        kfn = _conv_kernel
-        rows_in, row_step = tile_h + 3, tile_h
-    else:
-        xp = jnp.pad(x, ((0, 0), (1, 3), (1, 1), (0, 0)))
-        kfn = _conv_s2_kernel
-        rows_in, row_step = 2 * tile_h + 4, 2 * tile_h
     has_res = residual is not None
     # Overlapping halo row-blocks via elementwise start indices: each grid
     # step stages only rows [i*row_step, i*row_step + rows_in) in VMEM
     # (the last block's end lands exactly on the padded height), never the
     # whole padded slab — which at f32 CAMF-fuser shapes ([1,131,130,768])
     # blew the scoped-VMEM budget (round-3 bench crash).
-    in_specs = [
-        pl.BlockSpec((pl.Element(1), pl.Element(rows_in),
-                      pl.Element(w + 2), pl.Element(cin)),
-                     lambda bb, i: (bb, i * row_step, 0, 0),
-                     memory_space=pltpu.VMEM),
+    if stride == 1:
+        xp = jnp.pad(x, ((0, 0), (1, 2), (1, 1), (0, 0)))
+        kfn = _conv_kernel
+        rows_in, row_step = tile_h + 3, tile_h
+        data_specs = [
+            pl.BlockSpec((pl.Element(1), pl.Element(rows_in),
+                          pl.Element(w + 2), pl.Element(cin)),
+                         lambda bb, i: (bb, i * row_step, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        data_operands = [xp]
+    else:
+        # pre-split even/odd row+col phases (4 cheap XLA strided slices):
+        # each tap is then a unit-stride flat slice of one phase tile —
+        # no in-kernel sublane reshuffles (see _conv_s2_kernel)
+        xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+        phases = [
+            xp[:, py::2, px::2] for py in (0, 1) for px in (0, 1)
+        ]  # each [B, h_out + 2, w_out + 2, Cin]
+        kfn = _conv_s2_kernel
+        rows_in, row_step = tile_h + 2, tile_h
+        spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(rows_in),
+             pl.Element(w_out + 2), pl.Element(cin)),
+            lambda bb, i: (bb, i * row_step, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        data_specs = [spec] * 4
+        data_operands = phases
+    in_specs = data_specs + [
         pl.BlockSpec((3, 3, cin, cout), lambda bb, i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda bb, i: (0, 0),
@@ -191,7 +220,7 @@ def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
         pl.BlockSpec((1, cout), lambda bb, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [xp, kernel.astype(x.dtype), s2, b2]
+    operands = data_operands + [kernel.astype(x.dtype), s2, b2]
     if has_res:
         in_specs.append(
             pl.BlockSpec((1, tile_h, w_out, cout),

@@ -194,7 +194,7 @@ def _combine_fused_kernel(p_ref, fx_ref, fy_ref, aw_ref, e_ref, o_ref,
                      "out_dtype"),
 )
 def combine4_p_reduce_fused(patch, fx, fy, aw, p, hd, h, w,
-                            block_q=8192, out_dot=False, interpret=None,
+                            block_q=None, out_dot=False, interpret=None,
                             out_dtype=None):
     """Slot-combine + point-reduce with IN-KERNEL slot weights.
 
@@ -218,11 +218,16 @@ def combine4_p_reduce_fused(patch, fx, fy, aw, p, hd, h, w,
     n, s, c4 = patch.shape
     assert c4 == 4 * hd and s % p == 0
     lq = s // p
-    if block_q != 8192:
+    if block_q is not None:
         t = block_q
     else:
+        # 2 MB patch blocks.  4 MB was tried (r4): the kernel's internal
+        # w128/val temporaries (~2x the block) pushed the scoped-VMEM
+        # footprint to 21 MB, over the DEFAULT 16 MB limit that applies in
+        # any compile without tpu_compiler_options (e.g. model.init) —
+        # compile crash, no measurable win available.
         cap = max(128, (2 << 20) // (c4 * patch.dtype.itemsize))
-        t = min(block_q, 1 << (cap.bit_length() - 1))
+        t = 1 << (cap.bit_length() - 1)
     while lq % t:
         t //= 2
     n_lq = lq // t
