@@ -242,6 +242,15 @@ def packed_combine_p_reduce(packed_flat, flat_idx, w4t, p, hd):
     n, s = flat_idx.shape
     lq = s // p
     patch = _gather_packed_rows(packed_flat, flat_idx)
+    if jax.default_backend() == "tpu" and lq % 128 == 0:
+        # the XLA slot combine broadcasts w4t's lane-major S axis against
+        # the patch's sublane-major S axis — a relayout fusion measured at
+        # 3.8 ms/layer (4.4x its write floor) at CAMF train shapes; the
+        # Pallas kernel does the same contraction via its indicator
+        # matmul at 0.8 ms (this fwd runs under no autodiff — custom_vjp)
+        from .deform_attn_pallas import combine4_p_reduce
+
+        return combine4_p_reduce(patch, w4t, p, hd).astype(patch.dtype)
     val = sum(
         patch[..., si * hd : (si + 1) * hd]
         * w4t[:, si, :, None].astype(patch.dtype)
@@ -271,10 +280,27 @@ def _pcpr_bwd(p, hd, res, g):
         ],
         axis=1,
     ).astype(w4t.dtype)
-    d_patch = jnp.concatenate(
-        [w4t[:, si, :, None].astype(patch.dtype) * g_b for si in range(4)],
-        axis=-1,
-    )  # [N, S, 4hd] — already in the scatter operand's layout
+    if jax.default_backend() == "tpu" and lq % 128 == 0:
+        # lane-major w4t x sublane-major cotangent: the XLA broadcast
+        # fusion relayouts at ~6x the write floor (4.1 ms/layer); the
+        # Pallas kernel's indicator matmul does the lane broadcast on
+        # the MXU (ops/deform_attn_pallas.py::dpatch_broadcast)
+        from .deform_attn_pallas import dpatch_broadcast
+
+        d_patch = dpatch_broadcast(w4t, g.astype(patch.dtype), p, hd)
+    else:
+        d_patch = jnp.concatenate(
+            [w4t[:, si, :, None].astype(patch.dtype) * g_b
+             for si in range(4)],
+            axis=-1,
+        )  # [N, S, 4hd] — already in the scatter operand's layout
+    # The scatter-add IS the right formulation here (r4 A/B): it costs
+    # ~7.3 ms/layer at CAMF train shapes (1M rows x 128 lanes, ~9 ns/row
+    # serialization), but replacing it with a device-sorted MXU tile splat
+    # (sort_key_val + windowed tile bucketing + one-hot matmul, the
+    # bev_pool_accel machinery) measured 19.5 ms/layer — the 1M-key sort
+    # plus the window gathers' while-loop lowering dwarf the scatter; the
+    # same pattern lost for the train-time LSS pool (232 vs 205 ms/step).
     d_packed = jnp.zeros_like(packed_flat).at[flat_idx.reshape(-1)].add(
         d_patch.reshape(-1, c4)
     )

@@ -380,3 +380,63 @@ def combine4_p_reduce(patch, w4t, p, hd, block_q=8192, interpret=None):
         interpret=interpret,
     )
     return f(patch, w4t, e, r)
+
+
+def _dpatch_kernel(w_ref, g_ref, e_ref, o_ref):
+    prec = (jax.lax.Precision.HIGHEST
+            if g_ref.dtype == jnp.float32 else None)
+    w128 = jax.lax.dot_general(
+        w_ref[0], e_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    g = g_ref[0]
+    g_rep = jnp.concatenate([g, g, g, g], axis=-1)  # [T, 4*hd]
+    o_ref[0] = (w128.astype(g.dtype) * g_rep).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "hd", "interpret"))
+def dpatch_broadcast(w4t, g, p, hd, interpret=None):
+    """d_patch[n, pp*Lq+q, si*hd:(si+1)*hd] = w4t[n, si, pp*Lq+q] * g[n, q].
+
+    The deformable-attention custom-VJP backward's cotangent expansion
+    (ops/deform_attn.py::_pcpr_bwd).  As an XLA fusion, broadcasting the
+    lane-major [N, 4, S] weights against the sublane-major output runs at
+    ~6x the write floor (4.1 ms/layer at CAMF train shapes) — the same
+    S-on-lanes vs S-on-sublanes relayout the combine kernels avoid with
+    the indicator matmul, reused here.
+
+    w4t: [N, 4, S] (S = p*Lq, P-major); g: [N, Lq, hd] cotangent.
+    Returns [N, S, 4*hd] in g.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, _, s = w4t.shape
+    lq = s // p
+    c4 = 4 * hd
+    cap = max(128, (2 << 20) // (c4 * g.dtype.itemsize))
+    t = 1 << (cap.bit_length() - 1)
+    while lq % t:
+        t //= 2
+    n_lq = lq // t
+    e = jnp.asarray(
+        (np.arange(c4)[None] // hd == np.arange(4)[:, None]), jnp.float32
+    ).astype(g.dtype)
+    f = pl.pallas_call(
+        _dpatch_kernel,
+        grid=(n, n_lq, p),
+        in_specs=[
+            pl.BlockSpec((1, 4, t),
+                         lambda hh, q, pp: (hh, 0, pp * n_lq + q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, hd), lambda hh, q, pp: (hh, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c4), lambda hh, q, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c4),
+                               lambda hh, q, pp: (hh, pp * n_lq + q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s, c4), g.dtype),
+        interpret=interpret,
+    )
+    return f(w4t.astype(g.dtype), g, e)

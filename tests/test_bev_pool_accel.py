@@ -179,3 +179,4 @@ def test_device_meta_all_invalid_and_jit():
                          jnp.asarray(ranks)))
     assert out.shape == (num_cells, feat.shape[-1])
     assert np.all(out == 0.0)
+

@@ -273,3 +273,22 @@ def test_combine4_fused_out_dot_matches_slices():
                                 out_dot=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dpatch_broadcast_matches_xla():
+    """dpatch_broadcast (interpret mode) == the XLA concat-broadcast it
+    replaces in the custom-VJP backward."""
+    from rcbevdet_tpu.ops.deform_attn_pallas import dpatch_broadcast
+
+    rng = np.random.default_rng(21)
+    n, p, lq, hd = 3, 4, 256, 8
+    s = p * lq
+    w4t = jnp.asarray(rng.standard_normal((n, 4, s)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, lq, hd)), jnp.float32)
+    got = dpatch_broadcast(w4t, g, p=p, hd=hd, interpret=True)
+    g_b = jnp.broadcast_to(g[:, None], (n, p, lq, hd)).reshape(n, s, hd)
+    want = jnp.concatenate(
+        [w4t[:, si, :, None] * g_b for si in range(4)], axis=-1
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
