@@ -18,30 +18,31 @@ from .layers import BatchNorm
 
 
 class _RCSAtt(nn.Module):
-    """Parameter holder for the RCS-attention 1x1 conv.
+    """1x1 conv over the stacked [heat, feat] RCS maps, computed
+    elementwise.
 
     Param tree matches ``nn.Conv(features, (1, 1))`` exactly (kernel
     [1, 1, 2, C] + bias [C]) so reference-checkpoint conversion is
-    unchanged.  The VALUES are returned instead of applying the conv: the
-    [B, ny, nx, C] rcs_att tensor is never materialized — its 1x1 kernel
-    is folded into the compress conv's kernel slice (see
-    ``PointPillarsScatterRCS.__call__``), because a 1x1 conv followed by a
-    3x3 conv is itself a 3x3 conv over the 1x1's INPUTS:
-    ``conv3x3(heat*k0 + feat*k1 + b, Wb) ==
-    conv3x3_taps(heat, k0@Wb) + conv3x3_taps(feat, k1@Wb) + const(b, Wb)``.
+    unchanged — but a [B, ny, nx, 2] input tensor is never materialized:
+    minor-dim 2 lane-pads to 128 on TPU (64x HBM amplification over a
+    512x512 canvas).  The multiply-add runs in f32 (the maps are f32 from
+    the Pallas render), at least as accurate as the bf16 conv it replaces.
     """
 
     features: int
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, heat, feat):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (1, 1, 2, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
+        k = kernel[0, 0].astype(jnp.float32)
+        return (
+            heat[..., None] * k[0] + feat[..., None] * k[1] + bias
+        )
 
 
 def scatter_pillars(pillar_feats, coors, pillar_mask, ny, nx):
@@ -60,24 +61,35 @@ def scatter_pillars(pillar_feats, coors, pillar_mask, ny, nx):
     return canvas.reshape(ny, nx, c)
 
 
-class _CompressConv(nn.Module):
-    """Parameter holder for the compress conv (kernel [3, 3, 2C, C] + bias,
-    matching ``nn.Conv(C, 3x3)`` over the concat input so reference
-    checkpoints convert unchanged); values returned, compute fused in
-    ``PointPillarsScatterRCS.__call__``."""
+class _SplitConcatConv(nn.Module):
+    """``nn.Conv(C, 3x3)(concat([a, b], -1))`` as a kernel-sliced sum.
+
+    conv(concat(a, b), W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:]),
+    so the [B, ny, nx, 2C] concat is never materialized over the 512x512
+    canvas.  Param tree matches ``nn.Conv`` (kernel [3, 3, 2C, C] + bias)
+    so reference-checkpoint conversion is unchanged.
+    """
 
     features: int
-    in_features: int
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, self.in_features, self.features),
+            (3, 3, ca + cb, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = jax.lax.conv_general_dilated(
+            a, kernel[:, :, :ca].astype(a.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn,
+        ) + jax.lax.conv_general_dilated(
+            b, kernel[:, :, ca:].astype(b.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=dn,
+        )
+        return out + bias.astype(out.dtype)
 
 
 class PointPillarsScatterRCS(nn.Module):
@@ -134,39 +146,13 @@ class PointPillarsScatterRCS(nn.Module):
         seed_v = jnp.stack([s[1] for s in seeds])
         heat, feat = render_rcs_maps_pallas(seed_r, seed_v, self.r_max)
 
-        # Fused compress: conv(concat([features, rcs_att]), W) with the
-        # rcs_att 1x1 conv FOLDED INTO the compress kernel's second slice —
-        # neither the [B, ny, nx, 2C] concat nor the [B, ny, nx, C] rcs_att
-        # tensor (f32, 67 MB at the 512x512 canvas) ever exists.  The RCS
-        # contribution collapses to 18 shifted scalar-map FMAs (one XLA
-        # loop fusion over the two [B, ny, nx] f32 maps; a [B, ny, nx, 2]
-        # stack would lane-pad 2 -> 128, 64x HBM amplification).  Profiled
-        # r4: the unfused form cost ~0.93 ms/frame of the radar tail.
-        c_in = self.in_channels
-        k_rcs, b_rcs = _RCSAtt(c_in, name="rcs_att")()
-        k_comp, b_comp = _CompressConv(
-            c_in, 2 * c_in, name="compress")()
-        wa = k_comp[:, :, :c_in]
-        wb = k_comp[:, :, c_in:].astype(jnp.float32)
-        kr = k_rcs[0, 0].astype(jnp.float32)  # [2, C]
-        w2 = jnp.einsum("mc,yxco->yxmo", kr, wb)  # [3, 3, 2, C]
-        # rcs_att's bias rides a third, constant-one map: the compress conv
-        # zero-pads, so at the border the bias contributes only through the
-        # in-image taps — folding it into a flat output bias would be wrong
-        # exactly there
-        w2b = jnp.einsum("c,yxco->yxo", b_rcs.astype(jnp.float32), wb)
-        out = jax.lax.conv_general_dilated(
-            features, wa.astype(features.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+        # elementwise 1x1 "conv" over the two f32 maps (no [B, ny, nx, 2]
+        # stack: minor-dim 2 lane-pads 64x on TPU); cast at this boundary
+        # or the concat below upcasts the whole radar canvas and everything
+        # after it to f32 under bf16 activations
+        rcs_att = _RCSAtt(self.in_channels, name="rcs_att")(heat, feat)
+        rcs_att = rcs_att.astype(pillar_feats.dtype)
+        out = _SplitConcatConv(self.in_channels, name="compress")(
+            features, rcs_att
         )
-        ones = jnp.ones_like(heat)
-        maps = jnp.stack([heat, feat, ones], axis=1)  # [B, 3, ny, nx] f32
-        mp = jnp.pad(maps, ((0, 0), (0, 0), (1, 1), (1, 1)))
-        for dy in range(3):
-            for dx in range(3):
-                sl = mp[:, :, dy : dy + ny, dx : dx + nx]
-                out = out + (sl[:, 0, :, :, None] * w2[dy, dx, 0]
-                             + sl[:, 1, :, :, None] * w2[dy, dx, 1]
-                             + sl[:, 2, :, :, None] * w2b[dy, dx])
-        return (out + b_comp.astype(jnp.float32)).astype(pillar_feats.dtype)
+        return out
