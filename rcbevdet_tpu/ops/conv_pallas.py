@@ -144,6 +144,12 @@ def conv3x3_bn_act(x, kernel, scale, bias, act="relu", residual=None,
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     h_out, w_out = h // stride, w // stride
+    if stride == 2 and w_out % 2:
+        # the pre-split phase kernel needs wq = w_out + 2 EVEN (Mosaic
+        # rejects the flattening reshape when the collapsed minor-2 dim is
+        # odd) — w % 4 == 2 shapes take the identical-math XLA form
+        return conv3x3_bn_act_xla(x, kernel, scale, bias, act=act,
+                                  residual=residual, stride=stride)
     while h_out % tile_h:
         tile_h //= 2
     # Shrink the row tile until the kernel's VMEM working set fits the

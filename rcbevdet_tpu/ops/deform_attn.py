@@ -199,6 +199,20 @@ def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False):
     return _gather_packed_rows(packed.reshape(n * h * w, 4 * hd), flat_idx)
 
 
+# None = auto (Pallas combine kernels on a TPU backend only); True/False
+# force the routing — True lets CPU tests exercise the Pallas-routed
+# custom-VJP forward+backward end to end in interpret mode (the kernels
+# self-select interpret off-TPU)
+FORCE_PALLAS_COMBINE = None
+
+
+def _use_pallas_combine(lq):
+    use = FORCE_PALLAS_COMBINE
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    return use and lq % 128 == 0
+
+
 def _gather_packed_rows(packed_flat, flat_idx):
     """[R, 4hd], [N, S] -> [N, S, 4hd] via the fast 1-component gather."""
     n, s = flat_idx.shape
@@ -242,7 +256,7 @@ def packed_combine_p_reduce(packed_flat, flat_idx, w4t, p, hd):
     n, s = flat_idx.shape
     lq = s // p
     patch = _gather_packed_rows(packed_flat, flat_idx)
-    if jax.default_backend() == "tpu" and lq % 128 == 0:
+    if _use_pallas_combine(lq):
         # the XLA slot combine broadcasts w4t's lane-major S axis against
         # the patch's sublane-major S axis — a relayout fusion measured at
         # 3.8 ms/layer (4.4x its write floor) at CAMF train shapes; the
@@ -280,7 +294,7 @@ def _pcpr_bwd(p, hd, res, g):
         ],
         axis=1,
     ).astype(w4t.dtype)
-    if jax.default_backend() == "tpu" and lq % 128 == 0:
+    if _use_pallas_combine(lq):
         # lane-major w4t x sublane-major cotangent: the XLA broadcast
         # fusion relayouts at ~6x the write floor (4.1 ms/layer); the
         # Pallas kernel's indicator matmul does the lane broadcast on

@@ -355,9 +355,12 @@ def combine4_p_reduce(patch, w4t, p, hd, block_q=8192, interpret=None):
     while lq % t:
         t //= 2
     n_lq = lq // t
+    # cast e to the operand dtype like the sibling kernels: a bf16 caller
+    # (the bf16 frozen-camera train path) would otherwise issue a mixed
+    # bf16 x f32 in-kernel dot that Mosaic may reject
     e = jnp.asarray(
         (np.arange(c4)[None] // hd == np.arange(4)[:, None]), jnp.float32
-    )
+    ).astype(patch.dtype)
     r = jnp.asarray(
         (np.arange(c4)[:, None] % hd == np.arange(hd)[None]), np.float32
     ).astype(patch.dtype)

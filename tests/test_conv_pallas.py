@@ -48,6 +48,18 @@ def test_stride2_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stride2_odd_wout_routes_to_xla(rng):
+    """w % 4 == 2 (odd w_out, e.g. W=90) must not hit the phase kernel —
+    Mosaic rejects its flatten when wq = w_out + 2 is odd (ADVICE r4);
+    the guard routes such shapes to the identical-math XLA form."""
+    x, k, s, b = _case(rng, 1, 16, 10, 12, 8)  # w=10 -> w_out=5 (odd)
+    out = conv3x3_bn_act(x, k, s, b, act="relu", stride=2)
+    ref = conv3x3_bn_act_xla(x, k, s, b, act="relu", stride=2)
+    assert out.shape == (1, 8, 5, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_stride2_residual_relu(rng):
     x, k, s, b = _case(rng, 1, 16, 16, 8, 16)
     res = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)

@@ -223,6 +223,56 @@ def test_packed_custom_reduce_forward_and_grads_equal_einsum():
                                    rtol=1e-4, atol=2e-5)
 
 
+def test_packed_custom_reduce_pallas_routing_forced():
+    """Force the TPU routing gate so the Pallas-routed custom-VJP forward
+    (combine4_p_reduce) AND backward (dpatch_broadcast) run end to end in
+    interpret mode — covering the wiring (dtype casts, lq%128 gate,
+    P-major row alignment with flat_idx), not just the isolated kernels
+    (ADVICE r4)."""
+    from rcbevdet_tpu.ops import deform_attn as da
+
+    rng = np.random.default_rng(21)
+    b, heads, hd, lq, p = 1, 2, 8, 128, 4  # lq % 128 == 0 passes the gate
+    shapes = [(8, 16)]
+    len_in = sum(h * w for h, w in shapes)
+    value = jnp.asarray(
+        rng.standard_normal((b, len_in, heads, hd)), jnp.float32
+    )
+    locs = jnp.asarray(
+        rng.uniform(-0.2, 1.2, (b, lq, heads, len(shapes), p, 2)),
+        jnp.float32,
+    )
+    w = jax.nn.softmax(
+        jnp.asarray(
+            rng.standard_normal((b, lq, heads, len(shapes) * p)), jnp.float32
+        ),
+        axis=-1,
+    ).reshape(b, lq, heads, len(shapes), p)
+    cot = jnp.asarray(rng.standard_normal((b, lq, heads * hd)), jnp.float32)
+
+    def run(reduce):
+        def f(v, l, ww):
+            return da.ms_deform_attn_core_packed(
+                v, shapes, l, ww, reduce=reduce
+            )
+
+        out, vjp = jax.vjp(f, value, locs, w)
+        return out, vjp(cot)
+
+    out_e, g_e = run("einsum")
+    assert da.FORCE_PALLAS_COMBINE is None
+    da.FORCE_PALLAS_COMBINE = True
+    try:
+        out_c, g_c = run("custom")
+    finally:
+        da.FORCE_PALLAS_COMBINE = None
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_c),
+                               atol=2e-6)
+    for a, b_ in zip(g_e, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=2e-5)
+
+
 def test_packed_custom_reduce_under_checkpoint():
     """The custom-VJP core composes with jax.checkpoint (CAMF wraps it)."""
     from rcbevdet_tpu.ops.deform_attn import ms_deform_attn_core_packed
