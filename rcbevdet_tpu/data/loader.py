@@ -39,6 +39,7 @@ class PrefetchLoader:
         num_threads: int = 2,
         seed: int = 0,
         local_slice: Optional[Tuple[int, int]] = None,
+        transform=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,6 +55,11 @@ class PrefetchLoader:
             start, size = local_slice
             assert 0 <= start and start + size <= batch_size
         self.local_slice = local_slice
+        # post-collate batch transform, run in the worker threads (e.g.
+        # models/view_transformer.make_lss_pool_transform attaching the
+        # train-pool chunk tables — the np.argsort-heavy host precompute
+        # belongs in the prefetch pool, not the device-feeding thread)
+        self.transform = transform
         # optional externally-provided batch schedule (list of global index
         # lists), e.g. from data/samplers.py InfiniteGroupStreamSampler —
         # overrides the shuffled schedule for the next iteration(s)
@@ -97,9 +103,10 @@ class PrefetchLoader:
                 for b in batches[tid::nt]:
                     if stop.is_set():
                         return
-                    queues[tid].put(
-                        collate_samples([self.dataset[i] for i in b])
-                    )
+                    batch = collate_samples([self.dataset[i] for i in b])
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    queues[tid].put(batch)
             finally:
                 queues[tid].put(None)
 

@@ -374,7 +374,7 @@ class RCBEVDet(nn.Module):
 
     def extract_img_feat(self, imgs, sensor2keyegos, intrins, post_rots,
                          post_trans, bda, train, with_prev=True,
-                         k2s_sensor=None):
+                         k2s_sensor=None, lss_pool=None):
         """imgs [B, F, N, H, W, 3] (frame 0 = key; with cfg.stereo the last
         frame is an extra stereo reference that contributes no BEV).
         Returns (bev, key depth, per-frame BEVs)."""
@@ -405,10 +405,30 @@ class RCBEVDet(nn.Module):
             cv_key = cost_volumes[:, 0].reshape(b * n, h4, w4, num_d)
             cv_adj = cost_volumes[:, 1:].reshape(b * (f - 1) * n, h4, w4, num_d)
 
+        # loader-precomputed per-(sample, frame) LSS pooling tables
+        # (batch['lss_pool'], models/view_transformer.py::
+        # make_lss_pool_transform): key frame gets the rank table for the
+        # custom-VJP dense backward; adjacent frames are forward-only
+        key_pool = adj_pool = None
+        if lss_pool is not None:
+            key_pool = {
+                "perm": lss_pool["perm"][:, 0],
+                "local_cell": lss_pool["local_cell"][:, 0],
+                "chunk_tile": lss_pool["chunk_tile"][:, 0],
+                "ranks": lss_pool["ranks"],
+            }
+            if f > 1:
+                adj_pool = {
+                    k: lss_pool[k][:, 1:f].reshape(
+                        (b * (f - 1),) + lss_pool[k].shape[2:]
+                    )
+                    for k in ("perm", "local_cell", "chunk_tile")
+                }
+
         key_bev, key_depth = self.camera(
             imgs[:, 0], sensor2keyegos[:, 0], intrins[:, 0], post_rots[:, 0],
             post_trans[:, 0], bda, cost_volume=cv_key,
-            train=train, update_stats=cam_stats,
+            train=train, update_stats=cam_stats, pool_meta=key_pool,
         )
         bev_list = [key_bev]
         if f > 1:
@@ -424,7 +444,8 @@ class RCBEVDet(nn.Module):
                 ),
             )
             adj_bev, _ = self.camera(
-                *adj, cost_volume=cv_adj, train=train, update_stats=cam_stats
+                *adj, cost_volume=cv_adj, train=train,
+                update_stats=cam_stats, pool_meta=adj_pool,
             )
             # the reference computes adjacent frames under torch.no_grad
             # (bevdet_rc.py:765-769) — no parameter gradients flow through
@@ -564,6 +585,7 @@ class RCBEVDet(nn.Module):
             batch["post_rots"], batch["post_trans"], batch["bda"],
             train=train, with_prev=with_prev,
             k2s_sensor=batch.get("k2s_sensor"),
+            lss_pool=batch.get("lss_pool"),
         )
         if self.cfg.use_radar:
             radar_bev = self.extract_radar_feat(

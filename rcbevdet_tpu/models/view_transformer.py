@@ -21,6 +21,7 @@ from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.linalg import inv3
@@ -367,6 +368,47 @@ class LSSViewTransformerBEVDepth(nn.Module):
         c = feat.shape[-1]
         nx, ny, nz = self.grid_size
         gc = self.grid_config
+        if isinstance(pool_meta, dict):
+            # LOADER-precomputed per-sample tables (train path, ROADMAP
+            # lever 1): leaves carry a leading batch dim; 'ranks' (key
+            # frame only) feeds the dense-formula backward of the custom
+            # VJP.  Unrolled over b like the serving path below.
+            from ..ops.bev_pool_accel import (
+                auto_cells_per_tile, bev_pool_accel, bev_pool_accel_train,
+                meta_from_packed,
+            )
+
+            depth_ndhw = jnp.moveaxis(depth, -1, 2)  # [B, N, D, Hf, Wf]
+            p = n * num_d * hf * wf
+            cpt = auto_cells_per_tile(nx * ny * nz)
+            ranks = pool_meta.get("ranks")
+
+            def pool_one(i):
+                if ranks is None:
+                    # rank-less tables are the ADJACENT frames, forward-only
+                    # by contract (the detector stop-gradients their BEV
+                    # anyway); stopping the pool inputs here keeps
+                    # linearization from needing a JVP rule for the splat
+                    # kernel (params are still live at this point even
+                    # though the frame inputs are stopped)
+                    m = meta_from_packed(
+                        pool_meta["perm"][i], pool_meta["local_cell"][i],
+                        pool_meta["chunk_tile"][i], nx * ny * nz, num_d,
+                        hf * wf, p, cells_per_tile=cpt,
+                    )
+                    return bev_pool_accel(
+                        jax.lax.stop_gradient(depth_ndhw[i]),
+                        jax.lax.stop_gradient(feat[i]), m,
+                    )
+                return bev_pool_accel_train(
+                    depth_ndhw[i], feat[i],
+                    pool_meta["perm"][i], pool_meta["local_cell"][i],
+                    pool_meta["chunk_tile"][i], ranks[i], nx * ny * nz, cpt,
+                )
+
+            out = jnp.stack([pool_one(i) for i in range(b)])
+            out = out.reshape(b, nz, ny, nx, c)
+            return jnp.concatenate([out[:, i] for i in range(nz)], axis=-1)
         if pool_meta is not None:
             from ..ops.bev_pool_accel import bev_pool_accel
 
@@ -503,6 +545,182 @@ def depth_loss(gt_depth, pred_depth, downsample, depth_cfg, weight=3.0):
     bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
     bce = jnp.sum(bce * fg[:, None])
     return weight * bce / jnp.maximum(1.0, jnp.sum(fg))
+
+
+def _frustum_ranks_np(grid_config, input_size, downsample, s2k, intr,
+                      post_rots, post_trans, bda):
+    """Flat BEV ranks for ONE frame's rig, pure numpy float64 (host).
+
+    Same math as ``create_frustum`` + ``frustum_to_ego`` +
+    ``bev_pool_ranks`` (incl. the reference's trunc-toward-zero binning,
+    view_transformer.py:230-232) but computed in float64 on the host — for
+    the loader's train-pool tables, where device round-trips per sample
+    are unaffordable.  Args are per-frame: s2k [N,4,4], intr/post_rots
+    [N,3,3], post_trans [N,3], bda [3,3].  Returns [N*D*Hf*Wf] int32.
+    """
+    gc = grid_config
+    h_in, w_in = input_size
+    hf, wf = h_in // downsample, w_in // downsample
+    d = np.arange(*gc["depth"], dtype=np.float64)
+    num_d = d.shape[0]
+    u = np.linspace(0.0, w_in - 1.0, wf)
+    v = np.linspace(0.0, h_in - 1.0, hf)
+    frustum = np.stack(
+        [
+            np.broadcast_to(u[None, None, :], (num_d, hf, wf)),
+            np.broadcast_to(v[None, :, None], (num_d, hf, wf)),
+            np.broadcast_to(d[:, None, None], (num_d, hf, wf)),
+        ],
+        axis=-1,
+    )  # [D, Hf, Wf, 3]
+    s2k = np.asarray(s2k, np.float64)
+    intr = np.asarray(intr, np.float64)
+    post_rots = np.asarray(post_rots, np.float64)
+    post_trans = np.asarray(post_trans, np.float64)
+    bda = np.asarray(bda, np.float64)
+    n = s2k.shape[0]
+    pts = frustum[None] - post_trans[:, None, None, None, :]
+    pts = np.einsum("nij,ndhwj->ndhwi", np.linalg.inv(post_rots), pts)
+    pts = np.concatenate(
+        [pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1
+    )
+    combine = s2k[:, :3, :3] @ np.linalg.inv(intr)
+    pts = np.einsum("nij,ndhwj->ndhwi", combine, pts)
+    pts = pts + s2k[:, None, None, None, :3, 3]
+    pts = np.einsum("ij,ndhwj->ndhwi", bda, pts)
+    lb = np.array([gc["x"][0], gc["y"][0], gc["z"][0]])
+    step = np.array([gc["x"][2], gc["y"][2], gc["z"][2]])
+    nx, ny, nz = (
+        int(round((gc[k][1] - gc[k][0]) / gc[k][2])) for k in ("x", "y", "z")
+    )
+    idx = ((pts - lb) / step).astype(np.int32)  # trunc toward zero
+    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    valid = (
+        (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+        & (iz >= 0) & (iz < nz)
+    )
+    ranks = iz * (ny * nx) + iy * nx + ix
+    return np.where(valid, ranks, nx * ny * nz).astype(np.int32).reshape(-1)
+
+
+def precompute_train_pool_tables(
+    grid_config, input_size, downsample, sensor2keyegos, intrins, post_rots,
+    post_trans, bda, capacity_chunks, cells_per_tile=128, chunk=1024,
+):
+    """Fixed-capacity per-frame pooling tables for ONE train sample (host).
+
+    For every BEV frame: float64 ranks -> static-capacity chunk tables
+    (``ops.bev_pool_accel.precompute_pool_meta`` with on_overflow='drop').
+    Frame 0 additionally ships its flat rank table for the custom-VJP
+    dense backward, REWRITTEN so dropped-overflow points read as trash —
+    forward and backward stay consistent by construction.
+
+    Args: sensor2keyegos [F, N, 4, 4]; intrins/post_rots [F, N, 3, 3];
+    post_trans [F, N, 3]; bda [3, 3] (numpy, one sample).
+
+    Returns dict of numpy arrays: perm [F, S] int32, local_cell
+    [F, cap, 8, chunk//8] int32, chunk_tile [F, cap] int32,
+    ranks [P] int32 (key frame).
+    """
+    from ..ops.bev_pool_accel import precompute_pool_meta
+
+    gc = grid_config
+    nx, ny, nz = (
+        int(round((gc[k][1] - gc[k][0]) / gc[k][2])) for k in ("x", "y", "z")
+    )
+    num_cells = nx * ny * nz
+    f = sensor2keyegos.shape[0]
+    h_in, w_in = input_size
+    hf, wf = h_in // downsample, w_in // downsample
+    lo, hi, dstep = gc["depth"]
+    num_d = int(round((hi - lo) / dstep))
+    hw = hf * wf
+    perms, cells, tiles = [], [], []
+    key_ranks = None
+    for fi in range(f):
+        ranks = _frustum_ranks_np(
+            gc, input_size, downsample, sensor2keyegos[fi], intrins[fi],
+            post_rots[fi], post_trans[fi], bda,
+        )
+        n = sensor2keyegos.shape[1]
+        rf = np.broadcast_to(
+            np.arange(n * hw, dtype=np.int64).reshape(n, 1, hw),
+            (n, num_d, hw),
+        ).reshape(-1)
+        meta = precompute_pool_meta(
+            ranks, rf, num_cells, depth_bins=num_d, hw=hw,
+            cells_per_tile=cells_per_tile, chunk=chunk,
+            capacity_chunks=capacity_chunks, on_overflow="drop",
+            numpy=True,
+        )
+        perms.append(meta.perm)
+        cells.append(meta.local_cell)
+        tiles.append(meta.chunk_tile)
+        if fi == 0:
+            # backward consistency: points the capacity drop removed from
+            # the forward must not contribute gradients either
+            p_total = ranks.shape[0]
+            kept = np.zeros(p_total, bool)
+            kept[meta.perm[meta.perm < p_total]] = True
+            key_ranks = np.where(kept, ranks, num_cells).astype(np.int32)
+    return {
+        "perm": np.stack(perms),
+        "local_cell": np.stack(cells),
+        "chunk_tile": np.stack(tiles),
+        "ranks": key_ranks,
+    }
+
+
+def make_lss_pool_transform(model_cfg, point_fraction=0.45, chunk=1024):
+    """Loader post-collate transform attaching ``batch['lss_pool']``.
+
+    The returned callable runs in the PrefetchLoader worker threads on the
+    collated numpy batch: per (sample, BEV frame) it builds the
+    fixed-capacity pooling tables and stacks them to
+    perm [B, F, S] / local_cell [B, F, cap, 8, chunk//8] /
+    chunk_tile [B, F, cap] / ranks [B, P].
+    """
+    from ..ops.bev_pool_accel import auto_cells_per_tile, pool_meta_capacity
+
+    gc = model_cfg.grid_config
+    nx, ny, nz = (
+        int(round((gc[k][1] - gc[k][0]) / gc[k][2])) for k in ("x", "y", "z")
+    )
+    cells_per_tile = auto_cells_per_tile(nx * ny * nz)
+    h_in, w_in = model_cfg.input_size
+    hf = h_in // model_cfg.downsample
+    wf = w_in // model_cfg.downsample
+    lo, hi, dstep = gc["depth"]
+    num_d = int(round((hi - lo) / dstep))
+    f = model_cfg.num_frames  # BEV frames (excludes the stereo ref frame)
+
+    def transform(batch):
+        n = batch["sensor2keyegos"].shape[2]
+        p_total = n * num_d * hf * wf
+        cap = pool_meta_capacity(
+            nx * ny * nz, p_total, cells_per_tile, chunk, point_fraction
+        )
+        b = batch["sensor2keyegos"].shape[0]
+        per_sample = [
+            precompute_train_pool_tables(
+                gc, model_cfg.input_size, model_cfg.downsample,
+                np.asarray(batch["sensor2keyegos"][i, :f]),
+                np.asarray(batch["intrins"][i, :f]),
+                np.asarray(batch["post_rots"][i, :f]),
+                np.asarray(batch["post_trans"][i, :f]),
+                np.asarray(batch["bda"][i]),
+                capacity_chunks=cap, cells_per_tile=cells_per_tile,
+                chunk=chunk,
+            )
+            for i in range(b)
+        ]
+        batch["lss_pool"] = {
+            k: np.stack([s[k] for s in per_sample])
+            for k in ("perm", "local_cell", "chunk_tile", "ranks")
+        }
+        return batch
+
+    return transform
 
 
 def precompute_lss_pool_meta(

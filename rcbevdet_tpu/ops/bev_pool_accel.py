@@ -68,7 +68,9 @@ class PoolMeta:
 
 
 def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
-                         depth_bins, hw, cells_per_tile=128, chunk=1024):
+                         depth_bins, hw, cells_per_tile=128, chunk=1024,
+                         capacity_chunks=None, on_overflow="error",
+                         numpy=False):
     """Build :class:`PoolMeta` from one sample's flat rank tables (host).
 
     Args:
@@ -81,6 +83,16 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
       num_cells: static int, nx*ny*nz; must divide by cells_per_tile.
       depth_bins, hw: static frustum shape (P = N * depth_bins * hw, flat
         index order (n, d, hw)) — used to derive the per-slot depth bin.
+      capacity_chunks: pad the chunk table to this STATIC size (for jit
+        shape stability across samples on the train path — every batch
+        element must share one chunk-table shape).  Padding chunks carry
+        the last tile id (nondecreasing, so the splat kernel keeps
+        accumulating zeros without re-initializing).  ``None`` keeps the
+        sample-dependent size (serving: one fixed rig, one compile).
+      on_overflow: when a sample needs more than ``capacity_chunks``:
+        'error' raises; 'drop' trims the fullest tiles' trailing points
+        (bounded accuracy loss comparable to augmentation noise) until the
+        table fits.
     """
     assert num_cells % cells_per_tile == 0
     assert chunk % 8 == 0, "chunk must be sublane-aligned"
@@ -94,12 +106,29 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
     tiles_v = ranks_v // cells_per_tile
     n_tiles = num_cells // cells_per_tile
 
-    perm_chunks, rf_chunks, cell_chunks, chunk_tiles = [], [], [], []
     bounds = np.searchsorted(tiles_v, np.arange(n_tiles + 1))
+    cnts = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    n_chs = np.maximum(1, -(-cnts // chunk))  # empty tiles still get 1 chunk
+    if capacity_chunks is not None and int(n_chs.sum()) > capacity_chunks:
+        if on_overflow == "error":
+            raise ValueError(
+                f"pool meta needs {int(n_chs.sum())} chunks > capacity "
+                f"{capacity_chunks}; raise capacity_chunks or use "
+                "on_overflow='drop'"
+            )
+        while int(n_chs.sum()) > capacity_chunks:
+            t = int(np.argmax(n_chs))
+            if n_chs[t] <= 1:
+                raise ValueError("capacity_chunks < n_tiles")
+            n_chs[t] -= 1
+            cnts[t] = min(cnts[t], n_chs[t] * chunk)
+
+    perm_chunks, rf_chunks, cell_chunks, chunk_tiles = [], [], [], []
     for t in range(n_tiles):
-        s, e = int(bounds[t]), int(bounds[t + 1])
-        cnt = e - s
-        n_ch = max(1, -(-cnt // chunk))  # empty tiles still get one chunk
+        s = int(bounds[t])
+        cnt = int(cnts[t])
+        e = s + cnt
+        n_ch = int(n_chs[t])
         padded = n_ch * chunk
         perm_t = np.full(padded, p_total, np.int64)
         rf_t = np.zeros(padded, np.int64)
@@ -111,23 +140,32 @@ def precompute_pool_meta(ranks_bev_flat, ranks_feat_flat, num_cells,
         rf_chunks.append(rf_t)
         cell_chunks.append(cell_t)
         chunk_tiles.extend([t] * n_ch)
+    if capacity_chunks is not None and len(chunk_tiles) < capacity_chunks:
+        n_pad = capacity_chunks - len(chunk_tiles)
+        perm_chunks.append(np.full(n_pad * chunk, p_total, np.int64))
+        rf_chunks.append(np.zeros(n_pad * chunk, np.int64))
+        cell_chunks.append(np.zeros(n_pad * chunk, np.int64))
+        chunk_tiles.extend([n_tiles - 1] * n_pad)
 
     perm64 = np.concatenate(perm_chunks)
     perm = perm64.astype(np.int32)
     d_perm = np.where(
         perm64 < p_total, (perm64 // hw) % depth_bins, depth_bins
     ).astype(np.int32)
+    # numpy=True keeps leaves on the host — for the train loader's worker
+    # threads, where a per-sample device round-trip is unaffordable
+    wrap = (lambda x: x) if numpy else jnp.asarray
     return PoolMeta(
-        perm=jnp.asarray(perm),
-        rf_perm=jnp.asarray(np.concatenate(rf_chunks).astype(np.int32)),
-        d_perm=jnp.asarray(d_perm),
+        perm=wrap(perm),
+        rf_perm=wrap(np.concatenate(rf_chunks).astype(np.int32)),
+        d_perm=wrap(d_perm),
         # [n_chunks, 8, chunk//8]: Mosaic requires the last two block dims
         # tileable (8, 128) — a (1, chunk) block is rejected
-        local_cell=jnp.asarray(
+        local_cell=wrap(
             np.concatenate(cell_chunks).astype(np.int32)
             .reshape(-1, 8, chunk // 8)
         ),
-        chunk_tile=jnp.asarray(np.asarray(chunk_tiles, np.int32)),
+        chunk_tile=wrap(np.asarray(chunk_tiles, np.int32)),
         num_cells=num_cells,
         cells_per_tile=cells_per_tile,
     )
@@ -419,3 +457,104 @@ def _train_bwd(num_cells, cells_per_tile, chunk, res, g):
 
 
 bev_pool_train.defvjp(_train_fwd, _train_bwd)
+
+
+def auto_cells_per_tile(num_cells, cap=128):
+    """Deterministic tile size both the loader (table builder) and the
+    model (splat call) derive independently: the largest power-of-two
+    divisor of num_cells up to ``cap``."""
+    while num_cells % cap:
+        cap //= 2
+    return cap
+
+
+def pool_meta_capacity(num_cells, p_total, cells_per_tile=128, chunk=1024,
+                       point_fraction=1.0):
+    """Static chunk capacity covering ``point_fraction`` of P valid points.
+
+    The hard bound (fraction 1.0) is n_tiles + ceil(P/chunk): each tile
+    wastes less than one chunk of padding.  Real rigs land ~30-45% of the
+    frustum inside the BEV grid, so the shipped train configs use a
+    smaller fraction with on_overflow='drop' (the loader trims the
+    pathological tail instead of paying 2-3x gather/splat work per step).
+    """
+    n_tiles = num_cells // cells_per_tile
+    pts = int(np.ceil(p_total * point_fraction))
+    return n_tiles + -(-pts // chunk)
+
+
+def meta_from_packed(perm, local_cell, chunk_tile, num_cells, depth_bins,
+                     hw, p_total, cells_per_tile=128):
+    """Rebuild :class:`PoolMeta` from the three SHIPPED tables.
+
+    The loader sends only (perm, local_cell, chunk_tile) per frame —
+    rf_perm / d_perm are pure elementwise functions of ``perm`` (flat
+    frustum index order (n, d, hw)), so recomputing them on device saves
+    ~5 MB/frame of host->device transfer.
+    """
+    perm = perm.astype(jnp.int32)
+    is_real = perm < p_total
+    rf = jnp.where(
+        is_real, (perm // (depth_bins * hw)) * hw + perm % hw, 0
+    )
+    d = jnp.where(is_real, (perm // hw) % depth_bins, depth_bins)
+    return PoolMeta(
+        perm=perm,
+        rf_perm=rf.astype(jnp.int32),
+        d_perm=d.astype(jnp.int32),
+        local_cell=local_cell,
+        chunk_tile=chunk_tile,
+        num_cells=num_cells,
+        cells_per_tile=cells_per_tile,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def bev_pool_accel_train(depth_ndhw, feat, perm, local_cell, chunk_tile,
+                         ranks_bev_flat, num_cells, cells_per_tile=128):
+    """LSS splat with LOADER-precomputed meta: accel fwd, dense bwd.
+
+    The round-5 train-path lever (ROADMAP lever 1): train-time geometry is
+    fully known host-side (augmentations are sampled in the data
+    pipeline), so the loader emits fixed-capacity chunk tables per frame
+    and the device runs only the accelerate-mode gather + MXU tile splat —
+    the 4.7 ms/frame XLA scatter (42 ms/step over 9 frames) drops out.
+    The backward keeps the dense formulation's exact gradient formulas
+    (reference bev_pool_cuda.cu:67-121): d_depth = <g[cell], feat>,
+    d_feat = sum_D depth * g[cell] — no scatter anywhere.  The cell
+    assignment used by forward AND backward is the host table, so the two
+    are consistent by construction.
+
+    Args:
+      depth_ndhw: [N, D, Hf, Wf] softmax depth (frustum order).
+      feat: [N, Hf, Wf, C] image features.
+      perm/local_cell/chunk_tile: static-capacity tables
+        (:func:`precompute_pool_meta` with ``capacity_chunks``).
+      ranks_bev_flat: [N*D*Hf*Wf] int32 host cell ranks (num_cells =
+        trash) — backward only; pass zeros when no gradients are needed.
+
+    Returns [num_cells, C] pooled features (feat dtype).
+    """
+    n, d, hf, wf = depth_ndhw.shape
+    meta = meta_from_packed(
+        perm, local_cell, chunk_tile, num_cells, d, hf * wf,
+        n * d * hf * wf, cells_per_tile,
+    )
+    return bev_pool_accel(depth_ndhw, feat, meta)
+
+
+def _accel_train_fwd(depth_ndhw, feat, perm, local_cell, chunk_tile,
+                     ranks_bev_flat, num_cells, cells_per_tile):
+    out = bev_pool_accel_train(
+        depth_ndhw, feat, perm, local_cell, chunk_tile, ranks_bev_flat,
+        num_cells, cells_per_tile,
+    )
+    return out, (depth_ndhw, feat, ranks_bev_flat)
+
+
+def _accel_train_bwd(num_cells, cells_per_tile, res, g):
+    d_depth, d_feat, _ = _train_bwd(num_cells, cells_per_tile, None, res, g)
+    return d_depth, d_feat, None, None, None, None
+
+
+bev_pool_accel_train.defvjp(_accel_train_fwd, _accel_train_bwd)

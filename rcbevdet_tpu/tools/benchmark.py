@@ -42,6 +42,12 @@ def main(argv=None):
              "use the Pallas tile-matmul splat",
     )
     p.add_argument(
+        "--pool-meta", action=argparse.BooleanOptionalAction, default=True,
+        help="train mode: loader-precomputed accelerate-mode LSS pooling "
+             "tables (ROADMAP r5 lever 1 — the shipped train path); "
+             "--no-pool-meta falls back to the dense segment-sum pool",
+    )
+    p.add_argument(
         "--timing", choices=["trace", "sync"], default="trace",
         help="sync: synchronous-dispatch wall-clock minus the measured "
              "tunnel RTT floor — for steps near HBM capacity, where the "
@@ -164,6 +170,14 @@ def main(argv=None):
         full["gt_depth"] = (
             jnp.zeros((b, 6, hf, wf)).at[:, :, ::7, ::11].set(3.0)
         )
+        if args.pool_meta:
+            from ..models.view_transformer import make_lss_pool_transform
+
+            tfm = make_lss_pool_transform(mcfg)
+            full_np = tfm({k: np.asarray(v) for k, v in full.items()})
+            full["lss_pool"] = jax.tree_util.tree_map(
+                jnp.asarray, full_np["lss_pool"]
+            )
         tx = make_optimizer(
             total_steps=1000, freeze_img=mcfg.freeze_img,
             params=variables["params"],

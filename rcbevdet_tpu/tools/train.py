@@ -153,6 +153,9 @@ def main(argv=None):
         # reference: GradientCumulativeOptimizerHook when cumulative_iters
         # is present in optimizer_config (apis/train.py:270-272)
         cumulative_iters=cfg.optimizer_config.get("cumulative_iters", 1),
+        # loader-precomputed accelerate-mode train pooling (cfg key or
+        # --cfg-options lss_pool_meta=True)
+        lss_pool_meta=bool(cfg.get("lss_pool_meta", False)),
     )
     if args.resume_from:
         runner.state = restore_checkpoint(args.resume_from, runner.state)

@@ -54,6 +54,7 @@ class Runner:
         auto_resume=True,
         cumulative_iters=1,
         sampler="shuffle",
+        lss_pool_meta=False,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -103,9 +104,18 @@ class Runner:
         # schedule itself is seed-identical across hosts); single-process
         # runs get the full batch
         self.local_slice = host_local_slice(batch_size)
+        # lss_pool_meta: precompute the fixed-capacity LSS pooling tables
+        # in the prefetch workers (ROADMAP r5 lever 1) — the train step
+        # then runs the accelerate-mode gather+splat instead of the
+        # 42 ms/step dense scatter
+        transform = None
+        if lss_pool_meta:
+            from ..models.view_transformer import make_lss_pool_transform
+
+            transform = make_lss_pool_transform(model_cfg)
         self.loader = PrefetchLoader(
             dataset, batch_size, indices=self.indices, seed=seed,
-            local_slice=self.local_slice,
+            local_slice=self.local_slice, transform=transform,
         )
         self.is_main = jax.process_index() == 0
 

@@ -131,6 +131,80 @@ def test_rcbevdet_train_loss_and_grads(rc_setup):
     assert camf_g > 0 and head_g > 0 and radar_g > 0
 
 
+def test_train_lss_pool_tables_match_dense_forward_and_grads():
+    """batch['lss_pool'] (loader-precomputed accelerate-mode train pooling,
+    ROADMAP r5 lever 1) must reproduce the dense train path: forward preds
+    AND parameter gradients — camera UNFROZEN so cotangents actually flow
+    through the custom-VJP pool on the key frame."""
+    from rcbevdet_tpu.models.view_transformer import make_lss_pool_transform
+
+    cfg = tiny_config(use_radar=True, freeze_img=False)
+    model = RCBEVDet(cfg)
+    rng = np.random.default_rng(5)
+    batch = tiny_batch(rng, cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    tf = make_lss_pool_transform(cfg, point_fraction=1.0)
+    b_np = {k: np.asarray(v) for k, v in batch.items()}
+    b_np = tf(b_np)
+    assert b_np["lss_pool"]["perm"].shape[:2] == (1, cfg.num_frames)
+    batch_meta = dict(batch)
+    batch_meta["lss_pool"] = jax.tree_util.tree_map(
+        jnp.asarray, b_np["lss_pool"]
+    )
+
+    def loss_fn(params, b):
+        (preds, depth), _ = model.apply(
+            {**variables, "params": params}, b, train=True,
+            mutable=["batch_stats"],
+        )
+        return (
+            jnp.sum(preds["heatmap"] ** 2) + jnp.sum(preds["reg"] ** 2),
+            (preds, depth),
+        )
+
+    (l_d, (preds_d, depth_d)), g_d = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(variables["params"], batch)
+    (l_a, (preds_a, depth_a)), g_a = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(variables["params"], batch_meta)
+
+    np.testing.assert_allclose(np.asarray(depth_a), np.asarray(depth_d),
+                               rtol=1e-5, atol=1e-5)
+    for k in preds_d:
+        np.testing.assert_allclose(
+            np.asarray(preds_a[k]), np.asarray(preds_d[k]),
+            rtol=1e-4, atol=1e-4, err_msg=k,
+        )
+    np.testing.assert_allclose(float(l_a), float(l_d), rtol=1e-5)
+    flat_d = jax.tree_util.tree_leaves_with_path(g_d)
+    flat_a = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_a)
+    )
+    # pooling accumulation order differs (sorted tiles vs segment-sum), and
+    # the quadratic loss amplifies the f32 noise — near-cancelling bias
+    # grads (~1e-5 sums of ~1e3 contributions) can't meet an elementwise
+    # tolerance.  Checked separately: the host/device rank tables are
+    # IDENTICAL for this geometry, so any real wiring bug would show as
+    # O(1) relative error on the large leaves / a rotated global gradient.
+    gmax = max(float(np.abs(np.asarray(v)).max()) for _, v in flat_d)
+    dots = sq_a = sq_d = 0.0
+    for p, v in flat_d:
+        v = np.asarray(v)
+        a = np.asarray(flat_a[jax.tree_util.keystr(p)])
+        np.testing.assert_allclose(
+            a, v, rtol=5e-3, atol=1e-4 * gmax,
+            err_msg=jax.tree_util.keystr(p),
+        )
+        dots += float(np.sum(a * v))
+        sq_a += float(np.sum(a * a))
+        sq_d += float(np.sum(v * v))
+    cos = dots / np.sqrt(sq_a * sq_d)
+    assert cos > 1.0 - 1e-7, cos
+
+
 def test_camera_only_forward():
     cfg = tiny_config(use_radar=False, freeze_img=False)
     model = RCBEVDet(cfg)
