@@ -49,6 +49,7 @@ def build_model_config(cfg: Config) -> RCBEVDetConfig:
         hop_embed_dims=m.get("hop_embed_dims", 160),
         stereo=m.get("stereo", False),
         compute_dtype=m.get("compute_dtype", None),
+        train_camera_dtype=m.get("train_camera_dtype", None),
     )
 
 

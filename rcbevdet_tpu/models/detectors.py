@@ -91,6 +91,13 @@ class RCBEVDetConfig:
     num_classes: int = 10
     # training-time behavior
     freeze_img: bool = True
+    # run the FROZEN camera branch's forward in this dtype during fusion
+    # training (e.g. "bfloat16"); the frozen params are cast inside the
+    # train step's loss (f32 masters untouched), activations re-promote to
+    # f32 at the first trainable op (CAMF).  The reference trains f32
+    # (bevdet_rc.py:551-580) — validated by the synthetic loss-curve A/B
+    # in tests/test_training.py.  None = f32.
+    train_camera_dtype: Any = None
     # HoP auxiliary supervision (reference HoPBEVDepth4D, bevdet.py:1450)
     with_hop: bool = False
     hop_embed_dims: int = 160

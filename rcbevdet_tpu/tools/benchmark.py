@@ -42,6 +42,12 @@ def main(argv=None):
              "use the Pallas tile-matmul splat",
     )
     p.add_argument(
+        "--camera-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="train mode: run the FROZEN camera branch's forward in this "
+             "dtype (cfg.train_camera_dtype; f32 masters and trainable "
+             "branches unaffected — ROADMAP r5 lever 2)",
+    )
+    p.add_argument(
         "--pool-meta", action=argparse.BooleanOptionalAction, default=True,
         help="train mode: loader-precomputed accelerate-mode LSS pooling "
              "tables (ROADMAP r5 lever 1 — the shipped train path); "
@@ -86,6 +92,8 @@ def main(argv=None):
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+    if args.camera_dtype == "bfloat16" and args.mode == "train":
+        cfg.model["train_camera_dtype"] = "bfloat16"
     if args.dtype == "bfloat16":
         if args.mode == "train":
             p.error("--dtype bfloat16 is inference-only (training keeps "

@@ -220,8 +220,11 @@ def make_train_step(
             batch["inds_t"], batch["mask_t"],
         )
         if "gt_depth" in batch:
+            # cast: under train_camera_dtype the predicted depth arrives
+            # bf16; the BCE's log/clip must run f32 like the reference
             losses["loss_depth"] = depth_loss(
-                batch["gt_depth"], depth, cfg.downsample,
+                batch["gt_depth"], depth.astype(jnp.float32),
+                cfg.downsample,
                 cfg.grid_config["depth"], weight=loss_depth_weight,
             )
         if len(outputs) > 2:
@@ -278,6 +281,22 @@ def make_train_step(
             frozen_flat = {
                 k: v for k, v in flat.items() if k not in train_flat
             }
+            cam_dtype = getattr(cfg, "train_camera_dtype", None)
+            if cam_dtype is not None:
+                # frozen-camera fast path (ROADMAP r5 lever 2): the frozen
+                # branch is inference-like (no grads, batch-stat BN with
+                # f32 accumulation), so its ~60 ms of f32 conv can run in
+                # bf16.  Cast the frozen CONSTANTS only — f32 masters,
+                # trainable params, BN stats, losses stay f32; activations
+                # re-promote to f32 at the first trainable op (CAMF).
+                cdt = jnp.dtype(cam_dtype)
+                frozen_flat = {
+                    k: v.astype(cdt) if v.dtype == jnp.float32 else v
+                    for k, v in frozen_flat.items()
+                }
+                batch = dict(
+                    batch, imgs=batch["imgs"].astype(cdt)
+                )
 
             def loss_fn_split(tf, batch_stats, batch):
                 params = flax.traverse_util.unflatten_dict(
@@ -292,9 +311,9 @@ def make_train_step(
             grads = flax.traverse_util.unflatten_dict(
                 {
                     **g_train,
-                    **{
-                        k: jnp.zeros_like(v) for k, v in frozen_flat.items()
-                    },
+                    # zeros in the MASTER dtype (frozen_flat may be bf16
+                    # under train_camera_dtype; optimizer state is f32)
+                    **{k: jnp.zeros_like(flat[k]) for k in frozen_flat},
                 }
             )
         else:
