@@ -450,10 +450,19 @@ class RCBEVDet(nn.Module):
                     jnp.repeat(bda, f - 1, axis=0),
                 ),
             )
-            adj_bev, _ = self.camera(
-                *adj, cost_volume=cv_adj, train=train,
-                update_stats=cam_stats, pool_meta=adj_pool,
-            )
+            from .layers import bn_frame_groups
+
+            # frozen-camera training normalizes each adjacent frame with
+            # its OWN batch stats like the reference's per-frame Python
+            # loop (bevdet_rc.py:753-775) — see layers.bn_frame_groups.
+            # Unfrozen training keeps joint stats (sequential per-frame
+            # running-stat updates don't batch; a documented divergence).
+            groups = f - 1 if (train and not cam_stats) else 1
+            with bn_frame_groups(b, groups):
+                adj_bev, _ = self.camera(
+                    *adj, cost_volume=cv_adj, train=train,
+                    update_stats=cam_stats, pool_meta=adj_pool,
+                )
             # the reference computes adjacent frames under torch.no_grad
             # (bevdet_rc.py:765-769) — no parameter gradients flow through
             # them.  stop_gradient here reproduces that AND lets XLA

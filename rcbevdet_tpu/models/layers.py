@@ -11,9 +11,36 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Frame-grouped batch statistics for the FROZEN camera branch's batched
+# adjacent-frame pass.  The reference loops over temporal frames in Python,
+# so its frozen-BN normalization uses PER-FRAME batch stats
+# (bevdet_rc.py:753-775 + track_running_stats=False at :570-580); this repo
+# batches all adjacent frames into one pass for the MXU, which would
+# otherwise pool the stats across frames.  The context below tells every
+# BatchNorm inside to compute stats per frame group.  Trace-time Python
+# state: set via the ``bn_frame_groups`` context manager around the
+# adjacent camera call (detectors.extract_img_feat), read at trace time —
+# safe under jit because tracing is sequential.
+# Value: None, or (outer_batch, n_groups) — the flattened leading axis of
+# every tensor inside is (outer_batch, n_groups, ...).
+_BN_FRAME_GROUPS = None
+
+
+@contextlib.contextmanager
+def bn_frame_groups(outer_batch, n_groups):
+    global _BN_FRAME_GROUPS
+    prev = _BN_FRAME_GROUPS
+    _BN_FRAME_GROUPS = (outer_batch, n_groups) if n_groups > 1 else None
+    try:
+        yield
+    finally:
+        _BN_FRAME_GROUPS = prev
 
 
 class BatchNorm(nn.Module):
@@ -56,6 +83,28 @@ class BatchNorm(nn.Module):
             # feeds the fused conv+BN Pallas path (ops/conv_pallas.py)
             inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
             return inv, bias - ra_mean.value * inv
+
+        if not use_running_average and _BN_FRAME_GROUPS is not None:
+            # frozen-camera adjacent pass: PER-FRAME batch stats (see the
+            # module docstring above bn_frame_groups).  Stats-only path —
+            # running averages are untouched by contract.
+            assert not update_stats, "grouped BN stats are freeze-only"
+            assert mask is None
+            bo, g = _BN_FRAME_GROUPS
+            b0 = x.shape[0]
+            assert b0 % (bo * g) == 0, (b0, bo, g)
+            xg = x.astype(jnp.float32).reshape(
+                (bo, g, b0 // (bo * g)) + x.shape[1:]
+            )
+            axes = tuple(a for a in range(xg.ndim - 1) if a != 1)
+            gmean = jnp.mean(xg, axis=axes, keepdims=True)
+            gvar = (
+                jnp.mean(jnp.square(xg), axis=axes, keepdims=True)
+                - jnp.square(gmean)
+            )
+            inv = jax.lax.rsqrt(gvar + self.epsilon) * scale
+            out = (xg - gmean) * inv + bias
+            return out.reshape(x.shape).astype(x.dtype)
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

@@ -214,3 +214,38 @@ def test_camera_only_forward():
     preds, depth = model.apply(variables, batch, train=False)
     assert preds["heatmap"].shape == (1, 16, 16, 10)
     assert np.isfinite(np.asarray(preds["heatmap"])).all()
+
+
+def test_bn_frame_groups_matches_per_frame_loop():
+    """bn_frame_groups: one batched call over [b, g] flattened frames ==
+    looping BatchNorm over each frame separately (the reference's frozen
+    per-frame normalization, bevdet_rc.py:753-775)."""
+    from rcbevdet_tpu.models.layers import BatchNorm, bn_frame_groups
+
+    rng = np.random.default_rng(7)
+    b, g, n, h, w, c = 2, 3, 4, 5, 6, 8
+    x = jnp.asarray(rng.standard_normal((b, g, n, h, w, c)), jnp.float32)
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), x.reshape(-1, h, w, c),
+                        use_running_average=False, update_stats=False)
+    # make scale/bias non-trivial
+    variables = {
+        "params": {
+            "scale": jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(c), jnp.float32),
+        },
+        "batch_stats": variables["batch_stats"],
+    }
+    with bn_frame_groups(b, g):
+        out = bn.apply(
+            variables, x.reshape(b * g * n, h, w, c),
+            use_running_average=False, update_stats=False,
+        ).reshape(b, g, n, h, w, c)
+    for f in range(g):
+        ref = bn.apply(
+            variables, x[:, f].reshape(b * n, h, w, c),
+            use_running_average=False, update_stats=False,
+        ).reshape(b, n, h, w, c)
+        np.testing.assert_allclose(
+            np.asarray(out[:, f]), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
