@@ -227,7 +227,7 @@ class CameraBEVBranch(nn.Module):
 
     def __call__(self, imgs, sensor2keyegos, intrins, post_rots, post_trans,
                  bda, cost_volume=None, train=False, update_stats=True,
-                 pool_meta=None, fast=False):
+                 pool_meta=None, fast=False, mlp_sensor2keyegos=None):
         """imgs: [B, N, H, W, 3]; geometry per camera. Returns (bev, depth)."""
         c = self.cfg
         b, n, h, w, _ = imgs.shape
@@ -242,7 +242,7 @@ class CameraBEVBranch(nn.Module):
         bev, depth = self.img_view_transformer(
             x, sensor2keyegos, intrins, post_rots, post_trans, bda,
             cost_volume=cost_volume, train=train, update_stats=update_stats,
-            pool_meta=pool_meta,
+            pool_meta=pool_meta, mlp_sensor2ego=mlp_sensor2keyegos,
         )
         bev = self.pre_process(bev, train=train, update_stats=update_stats,
                                fast=fast)[0]
@@ -458,10 +458,15 @@ class RCBEVDet(nn.Module):
             # Unfrozen training keeps joint stats (sequential per-frame
             # running-stat updates don't batch; a documented divergence).
             groups = f - 1 if (train and not cam_stats) else 1
+            # every frame's DepthNet MLP input uses the KEY frame's
+            # sensor2keyego (bevdet_rc.py:762-763); b-major repeat matches
+            # the adjacent flattening above
+            mlp_s2k = jnp.repeat(sensor2keyegos[:, 0], f - 1, axis=0)
             with bn_frame_groups(b, groups):
                 adj_bev, _ = self.camera(
                     *adj, cost_volume=cv_adj, train=train,
                     update_stats=cam_stats, pool_meta=adj_pool,
+                    mlp_sensor2keyegos=jax.lax.stop_gradient(mlp_s2k),
                 )
             # the reference computes adjacent frames under torch.no_grad
             # (bevdet_rc.py:765-769) — no parameter gradients flow through

@@ -98,10 +98,11 @@ class BatchNorm(nn.Module):
             )
             axes = tuple(a for a in range(xg.ndim - 1) if a != 1)
             gmean = jnp.mean(xg, axis=axes, keepdims=True)
-            gvar = (
-                jnp.mean(jnp.square(xg), axis=axes, keepdims=True)
-                - jnp.square(gmean)
-            )
+            # two-pass variance (matches torch's accumulation; the one-pass
+            # E[x^2]-mean^2 form loses ~3 digits to cancellation and the
+            # error COMPOUNDS through stacked train-mode BNs)
+            gvar = jnp.mean(jnp.square(xg - gmean), axis=axes,
+                            keepdims=True)
             inv = jax.lax.rsqrt(gvar + self.epsilon) * scale
             out = (xg - gmean) * inv + bias
             return out.reshape(x.shape).astype(x.dtype)
@@ -113,7 +114,11 @@ class BatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             if mask is None:
                 mean = jnp.mean(x32, axis=axes)
-                var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+                # two-pass variance: matches torch's accumulation; the
+                # one-pass E[x^2]-mean^2 form loses ~3 digits to
+                # cancellation, and the error compounds through stacked
+                # train-mode BNs (assembled train parity caught it)
+                var = jnp.mean(jnp.square(x32 - mean), axis=axes)
                 count = 1.0
                 for a in axes:
                     count = count * x.shape[a]
@@ -123,7 +128,7 @@ class BatchNorm(nn.Module):
                 )
                 count = jnp.maximum(jnp.sum(m, axis=axes), 1.0)
                 mean = jnp.sum(x32 * m, axis=axes) / count
-                var = jnp.sum(jnp.square(x32) * m, axis=axes) / count - jnp.square(mean)
+                var = jnp.sum(jnp.square(x32 - mean) * m, axis=axes) / count
                 count = count[0] if count.ndim else count
             if update_stats and not self.is_initializing():
                 n = count

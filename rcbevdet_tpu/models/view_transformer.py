@@ -128,7 +128,14 @@ class ASPP(nn.Module):
         y = BatchNorm(name="out_bn")(
             y, use_running_average=not train, update_stats=update_stats
         )
-        return nn.relu(y)  # dropout(0.5) in ref is inactive at eval; omitted
+        y = nn.relu(y)
+        # reference ASPP dropout(0.5) at the output (view_transformer.py:
+        # 405,422) — ACTIVE during training, incl. the frozen camera branch
+        # under the RC recipe (det.train() puts every module in train
+        # mode).  Applies only when the caller provides a 'dropout' rng, so
+        # deterministic parity tests and eval are untouched.
+        use_drop = train and self.has_rng("dropout")
+        return nn.Dropout(0.5, deterministic=not use_drop)(y)
 
 
 class DepthNet(nn.Module):
@@ -320,6 +327,7 @@ class LSSViewTransformerBEVDepth(nn.Module):
     def __call__(
         self, x, sensor2ego, intrins, post_rots, post_trans, bda,
         cost_volume=None, train=False, update_stats=True, pool_meta=None,
+        mlp_sensor2ego=None,
     ):
         b, n, hf, wf, c = x.shape
         num_d = self.depth_bins
@@ -328,8 +336,14 @@ class LSSViewTransformerBEVDepth(nn.Module):
                 num_d + self.out_channels, (1, 1), name="depth_net_simple"
             )(x.reshape(b * n, hf, wf, c))
         else:
+            # the reference feeds the KEY frame's sensor2keyego into the
+            # DepthNet camera-parameter MLP for EVERY temporal frame
+            # (bevdet_rc.py:762-763: get_mlp_input(sensor2keyegos[0], ...))
+            # — the camera MOUNTING params, not the ego-motion-composed
+            # transform; adjacent-frame callers pass it explicitly
             mlp_input = depth_mlp_input(
-                sensor2ego, intrins, post_rots, post_trans, bda
+                sensor2ego if mlp_sensor2ego is None else mlp_sensor2ego,
+                intrins, post_rots, post_trans, bda,
             )
             y = DepthNet(
                 mid_channels=self.in_channels,

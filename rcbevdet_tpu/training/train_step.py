@@ -209,10 +209,14 @@ def make_train_step(
 ):
     """Build the jittable train step for an RCBEVDet-style model."""
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, step):
+        # per-step deterministic dropout rng (the reference's ASPP
+        # dropout(0.5) is active during training, view_transformer.py:405)
         outputs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch, train=True, with_prev=with_prev, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(0x5EED), step)},
         )
         preds, depth = outputs[0], outputs[1]
         losses = centerpoint_loss(
@@ -298,15 +302,15 @@ def make_train_step(
                     batch, imgs=batch["imgs"].astype(cdt)
                 )
 
-            def loss_fn_split(tf, batch_stats, batch):
+            def loss_fn_split(tf, batch_stats, batch, step):
                 params = flax.traverse_util.unflatten_dict(
                     {**tf, **frozen_flat}
                 )
-                return loss_fn(params, batch_stats, batch)
+                return loss_fn(params, batch_stats, batch, step)
 
             grad_fn = jax.value_and_grad(loss_fn_split, has_aux=True)
             (total, (losses, new_stats)), g_train = grad_fn(
-                train_flat, state.batch_stats, batch
+                train_flat, state.batch_stats, batch, state.step
             )
             grads = flax.traverse_util.unflatten_dict(
                 {
@@ -319,7 +323,7 @@ def make_train_step(
         else:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (total, (losses, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch
+                state.params, state.batch_stats, batch, state.step
             )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

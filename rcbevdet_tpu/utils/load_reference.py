@@ -173,6 +173,19 @@ RULES: List[Tuple[str, str]] = [
      _CAM + r"img_view_transformer/depth_net/\1_se/conv_\2/@dense3"),
     (r"^img_view_transformer\.depth_net\.context_conv\.(weight|bias)$",
      _CAM + r"img_view_transformer/depth_net/context_conv/@conv1"),
+    # BEVStereo DepthNet extras (reference view_transformer.py:505-517):
+    # two stride-2 cost-volume conv-BNs + the biased 1x1 downsample
+    # shortcut on the first depth block
+    (r"^img_view_transformer\.depth_net\.cost_volumn_net\.0\.(weight|bias)$",
+     _CAM + r"img_view_transformer/depth_net/cv_conv0/@conv1"),
+    (r"^img_view_transformer\.depth_net\.cost_volumn_net\.1\.(\w+)$",
+     _CAM + r"img_view_transformer/depth_net/cv_bn0/@bn1"),
+    (r"^img_view_transformer\.depth_net\.cost_volumn_net\.2\.(weight|bias)$",
+     _CAM + r"img_view_transformer/depth_net/cv_conv1/@conv1"),
+    (r"^img_view_transformer\.depth_net\.cost_volumn_net\.3\.(\w+)$",
+     _CAM + r"img_view_transformer/depth_net/cv_bn1/@bn1"),
+    (r"^img_view_transformer\.depth_net\.depth_conv\.0\.downsample\.(weight|bias)$",
+     _CAM + r"img_view_transformer/depth_net/depth_block0/downsample/@conv1"),
     (r"^img_view_transformer\.depth_net\.depth_conv\.([012])\.conv(\d)\.weight$",
      _CAM + r"img_view_transformer/depth_net/depth_block\1/conv\2/kernel"),
     (r"^img_view_transformer\.depth_net\.depth_conv\.([012])\.bn(\d)\.(\w+)$",

@@ -148,7 +148,7 @@ def _ref_model_cfg():
     )
 
 
-def _make_geometry(rng):
+def _make_geometry(rng, n_frames=F):
     """Realistic 6-cam rig + small SE(3) ego motion, in OUR batch layout.
 
     Every scalar is deliberately NON-round: grid-aligned geometry (integral
@@ -158,7 +158,7 @@ def _make_geometry(rng):
     parity signal."""
     # cam (x right, y down, z fwd) -> ego (x fwd, y left, z up)
     r0 = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
-    s2e = np.zeros((F, N_CAMS, 4, 4), np.float32)
+    s2e = np.zeros((n_frames, N_CAMS, 4, 4), np.float32)
     for n in range(N_CAMS):
         yaw = 2 * np.pi * n / N_CAMS + 0.0137
         pitch = 0.011 * (n - 2.3)  # slight per-camera tilt
@@ -172,14 +172,14 @@ def _make_geometry(rng):
             [0, 1, 0],
             [-np.sin(pitch), 0, np.cos(pitch)],
         ], np.float32)
-        for f in range(F):
+        for f in range(n_frames):
             s2e[f, n, :3, :3] = rz @ ry @ r0
             s2e[f, n, :3, 3] = rz @ np.array([1.031, 0.213, 1.517],
                                              np.float32)
             s2e[f, n, 3, 3] = 1.0
     # ego(frame f) -> key ego: forward motion + slight yaw per adj frame
-    e2k = np.zeros((F, 4, 4), np.float32)
-    for f in range(F):
+    e2k = np.zeros((n_frames, 4, 4), np.float32)
+    for f in range(n_frames):
         a = 0.0413 * f
         rz = np.array([
             [np.cos(a), -np.sin(a), 0],
@@ -189,9 +189,19 @@ def _make_geometry(rng):
         e2k[f, :3, :3] = rz
         e2k[f, :3, 3] = [-0.6137 * f, -0.0471 * f, 0.0023 * f]
         e2k[f, 3, 3] = 1.0
-    s2k = np.einsum("fij,fnjk->fnik", e2k, s2e)
+    # float64 product cast to f32 — exactly the reference's prepare_inputs
+    # chain (bevdet.py:720-728: inv(keyego2global.double()) @
+    # ego2globals.double() @ sensor2egos.double() -> .float(); key e2g = I
+    # here) and exactly what our host data pipeline ships.  An f32 product
+    # instead rounds differently, which moves LSS frustum points by ~1e-6
+    # cells — enough to flip boundary bins and decorrelate train-mode
+    # gradients (measured: adjacent-frame BEV relRMS 0.5-0.9% from this
+    # alone).
+    s2k = np.einsum(
+        "fij,fnjk->fnik", e2k.astype(np.float64), s2e.astype(np.float64)
+    ).astype(np.float32)
 
-    intr = np.zeros((F, N_CAMS, 3, 3), np.float32)
+    intr = np.zeros((n_frames, N_CAMS, 3, 3), np.float32)
     intr[..., 0, 0] = 41.37
     intr[..., 1, 1] = 41.81
     intr[..., 0, 2] = W_IMG / 2 + 0.373
@@ -200,10 +210,10 @@ def _make_geometry(rng):
 
     # mild image-aug homography (post_rot scale + post_tran crop)
     post_rot = np.broadcast_to(np.eye(3, dtype=np.float32),
-                               (F, N_CAMS, 3, 3)).copy()
+                               (n_frames, N_CAMS, 3, 3)).copy()
     post_rot[..., 0, 0] = 1.0437
     post_rot[..., 1, 1] = 0.9617
-    post_tran = np.zeros((F, N_CAMS, 3), np.float32)
+    post_tran = np.zeros((n_frames, N_CAMS, 3), np.float32)
     post_tran[..., 0] = 2.131
     post_tran[..., 1] = -1.577
 
@@ -217,13 +227,14 @@ def _make_geometry(rng):
 
 
 def _our_batch(rng, s2k, intr, post_rot, post_tran, bda, radar_pts):
+    n_frames = s2k.shape[0]
     nmax = 400
     pts = np.zeros((nmax, 7), np.float32)
     pts[: len(radar_pts)] = radar_pts
     mask = np.zeros(nmax, bool)
     mask[: len(radar_pts)] = True
-    imgs = rng.standard_normal((1, F, N_CAMS, H_IMG, W_IMG, 3)).astype(
-        np.float32)
+    imgs = rng.standard_normal(
+        (1, n_frames, N_CAMS, H_IMG, W_IMG, 3)).astype(np.float32)
     return {
         "imgs": jnp.asarray(imgs),
         "sensor2keyegos": jnp.asarray(s2k[None]),
@@ -236,20 +247,20 @@ def _our_batch(rng, s2k, intr, post_rot, post_tran, bda, radar_pts):
     }
 
 
-def _ref_inputs(batch, s2e, e2k):
+def _ref_inputs(batch, s2e, e2k, n_frames=F):
     """OUR batch -> the reference 7-tuple img_inputs (bevdet_rc.py:698-740):
     imgs are CAMERA-major [B, N*F, C, H, W]; the matrix tensors are
     FRAME-major [B, F*N, ...]; ego2globals are the key->global embeddings
     of the per-frame ego poses (global == key ego here)."""
-    imgs = np.asarray(batch["imgs"])[0]  # [F, N, H, W, 3]
-    t_imgs = np.zeros((1, N_CAMS * F, 3, H_IMG, W_IMG), np.float32)
+    imgs = np.asarray(batch["imgs"])[0]  # [n_frames, N, H, W, 3]
+    t_imgs = np.zeros((1, N_CAMS * n_frames, 3, H_IMG, W_IMG), np.float32)
     for n in range(N_CAMS):
-        for f in range(F):
-            t_imgs[0, n * F + f] = np.moveaxis(imgs[f, n], -1, 0)
+        for f in range(n_frames):
+            t_imgs[0, n * n_frames + f] = np.moveaxis(imgs[f, n], -1, 0)
     # frame ego -> global: choose global = key ego => ego2global = e2k
-    e2g = np.broadcast_to(e2k[:, None], (F, N_CAMS, 4, 4))
-    fm = lambda x: np.ascontiguousarray(x).reshape((1, F * N_CAMS) +
-                                                   x.shape[2:])
+    e2g = np.broadcast_to(e2k[:, None], (n_frames, N_CAMS, 4, 4))
+    fm = lambda x: np.ascontiguousarray(x).reshape(
+        (1, n_frames * N_CAMS) + x.shape[2:])
     return [
         torch.tensor(t_imgs),
         torch.tensor(fm(s2e)),
@@ -259,6 +270,248 @@ def _ref_inputs(batch, s2e, e2k):
         torch.tensor(fm(np.asarray(batch["post_trans"])[0])),
         torch.tensor(np.asarray(batch["bda"])[0:1]),
     ]
+
+
+def _cpu_shims(monkeypatch, mod):
+    """CPU shims for the reference's CUDA-only paths (pytorch deform-attn
+    core + cpu device), shared by the forward and train assembled tests."""
+    import sys as _sys
+
+    msda = _sys.modules[
+        "mmdet3d.models.model_utils.ops.modules.ms_deform_attn"]
+    funcs = _sys.modules["mmdet3d.models.model_utils.ops.functions"]
+
+    class _PyFn:
+        @staticmethod
+        def apply(value, shapes, start_index, locs, weights, step):
+            return funcs.ms_deform_attn_core_pytorch(
+                value, shapes, locs, weights)
+
+    monkeypatch.setattr(msda, "MSDeformAttnFunction", _PyFn)
+    real_device = torch.device
+    monkeypatch.setattr(torch, "device",
+                        lambda *a, **k: real_device("cpu"))
+    orig_ref_pts = mod.BEVDet_RC.get_reference_points
+    monkeypatch.setattr(
+        mod.BEVDet_RC, "get_reference_points",
+        staticmethod(lambda H, W, **k: orig_ref_pts(H, W, device="cpu")),
+    )
+
+
+@pytest.mark.slow
+def test_full_detector_train_parity(monkeypatch):
+    """ASSEMBLED TRAIN-surface parity vs the reference
+    ``BEVDepth4D_RC.forward_train`` (bevdet_rc.py:808-856): total loss,
+    every loss component, AND per-parameter-group gradients — with the RC
+    recipe's freeze semantics replicated exactly (requires_grad=False +
+    track_running_stats=False on the camera modules, bevdet_rc.py:551-580;
+    torch train() mode so the trainable branches normalize with batch
+    stats).  This is the contract the forward_test harness cannot see:
+    frozen-BN batch-stat normalization (incl. PER-FRAME stats on the
+    batched adjacent pass — layers.bn_frame_groups), stop-gradient frame
+    handling, target building from raw GT boxes, loss reduction and
+    weighting (6.0/1.5/3.0), and the backward through CAMF/radar/head."""
+    import types as _types
+
+    rng = np.random.default_rng(43)
+    cfg_dict = _ref_model_cfg()
+    # scaled-down rcbevdet-...py:177-188 train_cfg (identical keys)
+    cfg_dict["train_cfg"] = dict(pts=dict(
+        point_cloud_range=list(PC_RANGE), grid_size=[256, 256, 40],
+        voxel_size=[0.0625, 0.0625, 0.2], out_size_factor=8, dense_reg=1,
+        gaussian_overlap=0.1, max_objs=500, min_radius=2,
+        code_weights=[1.0] * 10))
+    det, mod = refshim.load_full_rc_detector(cfg_dict)
+    _randomize_params(det, rng)
+    _randomize_bn_stats(det, rng)
+    # keep heatmap logits in the smooth sigmoid range: randomized params
+    # saturate clip_sigmoid (clamp at 1e-4 / 1-1e-4, ZERO gradient outside
+    # — models/utils/clip_sigmoid.py:16), and near-boundary pixels then
+    # enter/leave the active set on f32 tie-breaks, decorrelating the
+    # focal-loss gradients for reasons that have nothing to do with parity.
+    # The reference's real init does the same (heatmap bias -2.19).
+    with torch.no_grad():
+        for name, p in det.pts_bbox_head.named_parameters():
+            if "heatmap" in name:
+                p.mul_(0.02)
+    # replicate init_weights' freeze block (bevdet_rc.py:551-580)
+    def fix_bn(mm):
+        if isinstance(mm, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            mm.track_running_stats = False
+
+    for m in (det.img_backbone, det.img_neck, det.img_view_transformer,
+              det.img_bev_encoder_backbone, det.img_bev_encoder_neck,
+              det.pre_process_net):
+        for p in m.parameters():
+            p.requires_grad = False
+        m.apply(fix_bn)
+    det.train()
+    # deterministic comparison: zero the (stochastic) ASPP dropout on the
+    # torch side; our side applies dropout only when given a 'dropout' rng
+    for m in det.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    _cpu_shims(monkeypatch, mod)
+
+    s2e, e2k, s2k, intr, post_rot, post_tran, bda = _make_geometry(rng)
+    n_pts = 300
+    radar = np.zeros((n_pts, 7), np.float32)
+    radar[:, 0] = rng.uniform(-7.5, 7.5, n_pts)
+    radar[:, 1] = rng.uniform(-7.5, 7.5, n_pts)
+    radar[:, 2] = rng.uniform(-2.0, 1.0, n_pts)
+    radar[:, 3] = rng.standard_normal(n_pts) * 0.5
+    radar[:, 4] = rng.standard_normal(n_pts) * 0.5
+    radar[:, 5] = 0.8
+    radar[:, 6] = rng.uniform(0.0, 0.5, n_pts)
+    batch = _our_batch(rng, s2k, intr, post_rot, post_tran, bda, radar)
+    img_inputs = _ref_inputs(batch, s2e, e2k)
+
+    # GT boxes (bottom-z LiDAR format for the reference, gravity for us)
+    n_gt = 6
+    boxes = np.zeros((n_gt, 9), np.float32)
+    boxes[:, 0] = rng.uniform(-7, 7, n_gt)
+    boxes[:, 1] = rng.uniform(-7, 7, n_gt)
+    boxes[:, 2] = rng.uniform(-2, 1, n_gt)
+    boxes[:, 3:6] = rng.uniform(0.5, 4.0, (n_gt, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_gt)
+    boxes[:, 7:9] = rng.uniform(-2, 2, (n_gt, 2))
+    labels = rng.integers(0, 10, n_gt)
+    grav_z = boxes[:, 2] + boxes[:, 5] / 2.0
+    gt_obj = _types.SimpleNamespace(
+        gravity_center=torch.tensor(
+            np.stack([boxes[:, 0], boxes[:, 1], grav_z], -1)),
+        tensor=torch.tensor(boxes),
+    )
+    gt_depth = np.zeros((1, N_CAMS, H_IMG, W_IMG), np.float32)
+    gt_depth[0, :, ::5, ::7] = rng.uniform(
+        1.5, 8.5, gt_depth[0, :, ::5, ::7].shape).astype(np.float32)
+
+    t_losses = det.forward_train(
+        img_metas=[dict()],
+        radar=[torch.tensor(radar)],
+        gt_bboxes_3d=[gt_obj],
+        gt_labels_3d=[torch.tensor(labels.astype(np.int64))],
+        img_inputs=img_inputs,
+        gt_depth=torch.tensor(gt_depth),
+    )
+    total_t = sum(v for v in t_losses.values())
+    total_t.backward()
+    # map the torch GRADIENTS through the production name map: state_dict
+    # values replaced by grads (zeros where frozen/None), then the same
+    # converter the checkpoint path uses — transposes apply identically
+    sd = {k: v.clone() for k, v in det.state_dict().items()}
+    for name, p in det.named_parameters():
+        sd[name] = (p.grad.detach().clone() if p.grad is not None
+                    else torch.zeros_like(p))
+
+    # ---------------------------------------------------------- our side
+    from rcbevdet_tpu.core.targets import centerpoint_targets_single
+    from rcbevdet_tpu.models import RCBEVDet, RCBEVDetConfig
+    from rcbevdet_tpu.models.centerpoint_head import centerpoint_loss
+    from rcbevdet_tpu.models.view_transformer import depth_loss
+    from rcbevdet_tpu.training.train_step import FROZEN_CAMERA_PREFIXES
+    from rcbevdet_tpu.utils.load_reference import load_reference_checkpoint
+
+    cfg = RCBEVDetConfig(
+        input_size=(H_IMG, W_IMG),
+        num_trans_channels=NUMC,
+        num_adj=NUM_ADJ,
+        grid_config=GRID,
+        radar_voxel_size=RADAR_VOXEL,
+        point_cloud_range=PC_RANGE,
+        radar_max_pillars=512,
+        radar_canvas=(CANVAS, CANVAS),
+        bev_size=BEV,
+        freeze_img=True,
+    )
+    model = RCBEVDet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = _convert(det, "", variables, ())
+
+    grav = boxes.copy()
+    grav[:, 2] = grav_z
+    t = centerpoint_targets_single(
+        grav, labels.astype(np.int32), num_classes=10,
+        grid_size=(256, 256), point_cloud_range=PC_RANGE,
+        voxel_size=(0.0625, 0.0625), out_size_factor=8,
+        gaussian_overlap=0.1, min_radius=2, max_objs=500,
+    )
+
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    train_flat = {
+        k: v for k, v in flat.items()
+        if not any(k[0] == p for p in FROZEN_CAMERA_PREFIXES)
+    }
+    frozen_flat = {k: v for k, v in flat.items() if k not in train_flat}
+
+    def loss_fn(tf):
+        params = flax.traverse_util.unflatten_dict({**tf, **frozen_flat})
+        (preds, depth), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"],
+        )
+        losses = centerpoint_loss(
+            preds, jnp.asarray(t.heatmap)[None],
+            jnp.asarray(t.anno_box)[None], jnp.asarray(t.inds)[None],
+            jnp.asarray(t.mask)[None].astype(jnp.float32),
+            code_weights=(1.0,) * 10, cls_weight=6.0, bbox_weight=1.5,
+        )
+        losses["loss_depth"] = depth_loss(
+            jnp.asarray(gt_depth), depth.astype(jnp.float32),
+            cfg.downsample, GRID["depth"], weight=3.0,
+        )
+        return sum(losses.values()), losses
+
+    (j_total, j_losses), g_train = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(train_flat)
+
+    # (1) every loss component
+    comp_map = {
+        "loss_heatmap": "task0.loss_heatmap", "loss_xy": "task0.loss_xy",
+        "loss_z": "task0.loss_z", "loss_whl": "task0.loss_whl",
+        "loss_yaw": "task0.loss_yaw", "loss_vel": "task0.loss_vel",
+        "loss_depth": "loss_depth",
+    }
+    print("REF :", {k: round(float(v), 6) for k, v in t_losses.items()})
+    print("OURS:", {k: round(float(v), 6) for k, v in j_losses.items()})
+    for ours, ref in comp_map.items():
+        np.testing.assert_allclose(
+            float(j_losses[ours]), float(t_losses[ref]), rtol=2e-3,
+            err_msg=ours)
+    np.testing.assert_allclose(float(j_total), float(total_t), rtol=1e-3)
+
+    # (2) per-parameter-group gradients through the converted name map
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, variables)
+    g_ref_vars, report = load_reference_checkpoint(sd, zeros)
+    assert not report["unmapped"] and not report["untouched"]
+    g_ref = flax.traverse_util.flatten_dict(g_ref_vars["params"])
+    groups = {}
+    for k, g in g_train.items():
+        groups.setdefault(k[0], []).append(
+            (np.asarray(g).ravel(), np.asarray(g_ref[k]).ravel())
+        )
+    assert set(groups) >= {"camf", "pts_bbox_head", "radar_voxel_encoder",
+                           "radar_middle_encoder", "radar_bev_backbone",
+                           "radar_bev_neck"}
+    for name, pairs in groups.items():
+        a = np.concatenate([p[0] for p in pairs])
+        b = np.concatenate([p[1] for p in pairs])
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        assert nb > 0, name
+        cos = float(np.dot(a, b) / (na * nb))
+        assert cos >= 0.999, (name, cos)
+        assert abs(na - nb) / nb < 0.01, (name, na, nb)
+    # frozen camera: the reference has requires_grad=False there — our
+    # train step never differentiates the subtree at all (split by
+    # construction); assert the reference's camera grads are indeed absent
+    cam_prefixes = ("img_backbone.", "img_neck.", "img_view_transformer.",
+                    "img_bev_encoder", "pre_process")
+    for nm, p in det.named_parameters():
+        if any(nm.startswith(c) for c in cam_prefixes):
+            assert p.grad is None, nm
 
 
 @pytest.mark.slow
@@ -406,3 +659,89 @@ def test_full_detector_forward_parity(monkeypatch):
             used[jbest] = True
             matched += 1
     assert matched >= len(j_boxes) - 3, (matched, len(j_boxes))
+
+
+@pytest.mark.slow
+def test_full_detector_stereo_forward_parity(monkeypatch):
+    """ASSEMBLED forward parity for BEVStereo4D_RC (bevdet_rc.py:865-995):
+    the oldest-first frame chain passing stride-4 stereo features forward,
+    plane-sweep cost volumes (stereo_sample_grid + calculate_cost_volumn)
+    feeding the stereo DepthNet (cv convs + downsample shortcut), then the
+    same radar/CAMF/head stack — vs RCBEVDetConfig(stereo=True) with
+    converted weights.  Covers VERDICT r4 item 7 (stereo variant was
+    module-tested only)."""
+    rng = np.random.default_rng(44)
+    ft = F + 1  # BEV frames + 1 extra stereo ref (oldest)
+    cfg_dict = _ref_model_cfg()
+    cfg_dict["type"] = "BEVStereo4D_RC"
+    cfg_dict["img_view_transformer"] = dict(
+        type="LSSViewTransformerBEVStereo",
+        grid_config={k: list(v) for k, v in GRID.items()},
+        input_size=(H_IMG, W_IMG),
+        in_channels=512, out_channels=NUMC,
+        depthnet_cfg=dict(use_dcn=False, aspp_mid_channels=96,
+                          stereo=True, bias=0.0),
+        downsample=16)
+    det, mod = refshim.load_full_rc_detector(cfg_dict)
+    det.eval()
+    _randomize_params(det, rng)
+    _randomize_bn_stats(det, rng)
+    _cpu_shims(monkeypatch, mod)
+
+    s2e, e2k, s2k, intr, post_rot, post_tran, bda = _make_geometry(
+        rng, n_frames=ft)
+    n_pts = 300
+    radar = np.zeros((n_pts, 7), np.float32)
+    radar[:, 0] = rng.uniform(-7.5, 7.5, n_pts)
+    radar[:, 1] = rng.uniform(-7.5, 7.5, n_pts)
+    radar[:, 2] = rng.uniform(-2.0, 1.0, n_pts)
+    radar[:, 3] = rng.standard_normal(n_pts) * 0.5
+    radar[:, 4] = rng.standard_normal(n_pts) * 0.5
+    radar[:, 5] = 0.8
+    radar[:, 6] = rng.uniform(0.0, 0.5, n_pts)
+    batch = _our_batch(rng, s2k, intr, post_rot, post_tran, bda, radar)
+    # current->next-older sensor transforms (reference prepare_inputs
+    # curr2adjsensor, bevdet.py:731-745), float64 like the reference
+    s2g = np.einsum(
+        "fij,fnjk->fnik", e2k.astype(np.float64), s2e.astype(np.float64))
+    k2s = np.stack([
+        (np.linalg.inv(s2g[f + 1]) @ s2g[f]).astype(np.float32)
+        for f in range(ft - 1)
+    ])
+    batch["k2s_sensor"] = jnp.asarray(k2s[None])
+    img_inputs = _ref_inputs(batch, s2e, e2k, n_frames=ft)
+
+    with torch.no_grad():
+        t_feats, _, _ = det.extract_feat(
+            None, img=img_inputs, img_metas=None,
+            radar=[torch.tensor(radar)])
+        t_maps = det.pts_bbox_head(t_feats)[0][0]
+    t_fused = t_feats[0].numpy()
+
+    from rcbevdet_tpu.models import RCBEVDet, RCBEVDetConfig
+
+    cfg = RCBEVDetConfig(
+        input_size=(H_IMG, W_IMG),
+        num_trans_channels=NUMC,
+        num_adj=NUM_ADJ,
+        grid_config=GRID,
+        radar_voxel_size=RADAR_VOXEL,
+        point_cloud_range=PC_RANGE,
+        radar_max_pillars=512,
+        radar_canvas=(CANVAS, CANVAS),
+        bev_size=BEV,
+        freeze_img=True,
+        stereo=True,
+    )
+    model = RCBEVDet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = _convert(det, "", variables, ())
+    preds, _depth, fused = model.apply(variables, batch, train=False,
+                                       return_feats=True)
+
+    j_fused = np.moveaxis(np.asarray(fused), -1, 1)
+    np.testing.assert_allclose(j_fused, t_fused, rtol=0.0, atol=0.03)
+    for k in ("heatmap", "reg", "height", "dim", "rot", "vel"):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(preds[k]), -1, 1), t_maps[k].numpy(),
+            rtol=0.0, atol=2e-3, err_msg=k)
