@@ -479,10 +479,20 @@ class RCBEVDet(nn.Module):
             adj_frames = adj_bev.reshape(b, f - 1, ny, nx, ch)
             if not with_prev:
                 adj_frames = jnp.zeros_like(adj_frames)
-            adj_bev = jnp.moveaxis(adj_frames, 1, 3).reshape(
-                b, ny, nx, (f - 1) * ch
-            )
-            bev = jnp.concatenate([key_bev, adj_bev], axis=-1)
+            if c.stereo:
+                # BEVStereo4D's frame loop DESCENDS (fid num_frame-1..0,
+                # bevdet_rc.py:940-963), so its channel concat is
+                # oldest-first with the KEY frame last — the bev encoder's
+                # weights are laid out for that order
+                stack = jnp.concatenate(
+                    [adj_frames[:, ::-1], key_bev[:, None]], axis=1
+                )
+                bev = jnp.moveaxis(stack, 1, 3).reshape(b, ny, nx, f * ch)
+            else:
+                adj_flat = jnp.moveaxis(adj_frames, 1, 3).reshape(
+                    b, ny, nx, (f - 1) * ch
+                )
+                bev = jnp.concatenate([key_bev, adj_flat], axis=-1)
             frames = jnp.concatenate([key_bev[:, None], adj_frames], axis=1)
         else:
             bev = key_bev

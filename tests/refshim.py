@@ -356,6 +356,10 @@ class MMDetResNet(nn.Module):
         super().__init__()
         block, blocks = self.arch[depth]
         self.out_indices = out_indices
+        # mmdet ResNet API surface used by BEVStereo4D_RC's
+        # extract_stereo_ref_feat (bevdet_rc.py:873-886)
+        self.deep_stem = False
+        self.res_layers = [f"layer{i + 1}" for i in range(4)]
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.relu = nn.ReLU(inplace=True)
@@ -378,6 +382,12 @@ class MMDetResNet(nn.Module):
                                     downsample=downsample))
                 inplanes = planes * block.expansion
             setattr(self, f"layer{stage + 1}", nn.Sequential(*layers))
+
+    @property
+    def norm1(self):
+        # mmdet calls its stem BN 'norm1'; alias (property, so state_dict
+        # keys stay torchvision-style for the name map)
+        return self.bn1
 
     def forward(self, x):
         x = self.maxpool(self.relu(self.bn1(self.conv1(x))))

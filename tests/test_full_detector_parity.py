@@ -674,6 +674,9 @@ def test_full_detector_stereo_forward_parity(monkeypatch):
     ft = F + 1  # BEV frames + 1 extra stereo ref (oldest)
     cfg_dict = _ref_model_cfg()
     cfg_dict["type"] = "BEVStereo4D_RC"
+    # stereo backbones also emit the stride-4 stage-1 feature
+    # (image_encoder(stereo=True) peels x[0], bevdet.py:52-54)
+    cfg_dict["img_backbone"]["out_indices"] = (0, 2, 3)
     cfg_dict["img_view_transformer"] = dict(
         type="LSSViewTransformerBEVStereo",
         grid_config={k: list(v) for k, v in GRID.items()},
@@ -687,6 +690,9 @@ def test_full_detector_stereo_forward_parity(monkeypatch):
     _randomize_params(det, rng)
     _randomize_bn_stats(det, rng)
     _cpu_shims(monkeypatch, mod)
+    # extract_stereo_ref_feat's isinstance(self.img_backbone, ResNet)
+    # (bevdet_rc.py:876) must see the shim's ResNet class
+    monkeypatch.setattr(mod, "ResNet", type(det.img_backbone))
 
     s2e, e2k, s2k, intr, post_rot, post_tran, bda = _make_geometry(
         rng, n_frames=ft)
@@ -711,6 +717,11 @@ def test_full_detector_stereo_forward_parity(monkeypatch):
     batch["k2s_sensor"] = jnp.asarray(k2s[None])
     img_inputs = _ref_inputs(batch, s2e, e2k, n_frames=ft)
 
+    import os as _os
+    cv_in_t = []
+    if _os.environ.get("DEBUG_CV"):
+        det.img_view_transformer.depth_net.cost_volumn_net.register_forward_hook(
+            lambda m, i, o: cv_in_t.append(i[0].detach().numpy()))
     with torch.no_grad():
         t_feats, _, _ = det.extract_feat(
             None, img=img_inputs, img_metas=None,
@@ -736,6 +747,24 @@ def test_full_detector_stereo_forward_parity(monkeypatch):
     model = RCBEVDet(cfg)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
     variables = _convert(det, "", variables, ())
+    if _os.environ.get("DEBUG_CV"):
+        j_cv = model.apply(
+            variables, batch["imgs"], batch["k2s_sensor"],
+            batch["intrins"], batch["post_rots"], batch["post_trans"],
+            False, method=lambda m, i, k, it, pr, pt, t:
+            m._stereo_cost_volumes(i, k, it, pr, pt, t),
+        )  # [B, fb, N, H4, W4, D]
+        b_, fb_, n_, h4_, w4_, d_ = j_cv.shape
+        # torch hook calls are oldest-first; cv_in_t[i] covers frame
+        # fb-1-i, shape [BN, D, H4, W4]
+        for i, t_cv in enumerate(cv_in_t):
+            fi = fb_ - 1 - i
+            j = np.moveaxis(
+                np.asarray(j_cv[0, fi]), -1, 1)  # [N, D, H4, W4]
+            d = np.abs(j - t_cv)
+            print("CV", fi, "max", round(float(d.max()), 6),
+                  "mean", round(float(d.mean()), 6))
+        return
     preds, _depth, fused = model.apply(variables, batch, train=False,
                                        return_feats=True)
 
