@@ -98,8 +98,11 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), full, train=False)
 
     ny = nx = cfg.bev_size
+    # packed-corner cache: each frame is packed once when it enters the
+    # cache (forward_cached packed_cache=True), the warp skips the 8-frame
+    # re-pack every step
     prev_bev0 = jnp.asarray(
-        rng.standard_normal((1, num_adj, ny, nx, cfg.num_trans_channels)),
+        rng.standard_normal((1, num_adj, ny, nx, 4 * cfg.num_trans_channels)),
         jnp.float32,
     )
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
@@ -124,7 +127,7 @@ def main():
         )
         def step(variables, batch, prev_bev, prev_s2k, pool_meta):
             preds, key_bev = m.apply(
-                variables, batch, prev_bev, prev_s2k, pool_meta,
+                variables, batch, prev_bev, prev_s2k, pool_meta, True,
                 method=RCBEVDet.forward_cached,
             )
             dec = decode_predictions(preds)

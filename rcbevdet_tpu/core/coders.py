@@ -58,7 +58,12 @@ def centerpoint_decode(
     # exact whenever per-class peaks don't exceed K (always true at K=500
     # with a 10-class 128x128 map when peaks are sparse) and simpler on TPU.
     flat = heatmap.transpose(0, 3, 1, 2).reshape(b, -1)  # [B, C*H*W]
-    scores, idx = jax.lax.top_k(flat, max_num)  # [B, K]
+    # approx_max_k with recall_target=1.0 is EXACT (XLA sizes the
+    # PartialReduce so no true top-k entry can be dropped) but lowers to
+    # the two-phase partial-reduce instead of lax.top_k's full variadic
+    # sort — 0.35 ms -> ~0.05 at [1, 164k] on v5e.  CPU lowers both to the
+    # same exact sort, so the decode-parity oracles are unaffected.
+    scores, idx = jax.lax.approx_max_k(flat, max_num, recall_target=1.0)
     labels = (idx // (h * w)).astype(jnp.int32)
     pos = idx % (h * w)
     ys = (pos // w).astype(jnp.float32)

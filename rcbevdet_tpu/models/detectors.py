@@ -521,7 +521,7 @@ class RCBEVDet(nn.Module):
         return self.radar_neck(ms, train=train)
 
     def forward_cached(self, batch, prev_bev, prev_sensor2keyegos,
-                       pool_meta=None):
+                       pool_meta=None, packed_cache=False):
         """Deployment-style incremental inference (the FPS-benchmark
         semantics, reference tools/analysis_tools/benchmark_sequential.py +
         extract_img_feat_sequential, bevdet_rc.py:668-689): only the key
@@ -532,7 +532,10 @@ class RCBEVDet(nn.Module):
           batch: key-frame-only inputs — imgs [B, 1, N, H, W, 3] (or
             [B, N, H, W, 3]), geometry likewise, plus radar.
           prev_bev: [B, F-1, ny, nx, C] cached adjacent BEV features (in
-            their own ego frames).
+            their own ego frames); with ``packed_cache`` instead the
+            [B, F-1, ny, nx, 4C] corner tables — each frame is packed ONCE
+            when it enters the cache (the returned key cache entry) and
+            the per-step warp skips the 8-frame re-pack (~0.4 ms/step).
           prev_sensor2keyegos: [B, F-1, N, 4, 4] transforms of the cached
             frames into the CURRENT global-aligned chain.
 
@@ -561,7 +564,8 @@ class RCBEVDet(nn.Module):
         b, ny, nx, ch = key_bev.shape
         f1 = prev_bev.shape[1]
         gc = c.grid_config
-        prev_flat = prev_bev.reshape(b * f1, ny, nx, ch)
+        cache_ch = prev_bev.shape[-1]
+        prev_flat = prev_bev.reshape(b * f1, ny, nx, cache_ch)
         s2k_rep = jnp.repeat(s2k, f1, axis=0)
         prev_s2k = prev_sensor2keyegos.reshape(b * f1, -1, 4, 4)
         bda_rep = jnp.repeat(bda, f1, axis=0)
@@ -573,12 +577,13 @@ class RCBEVDet(nn.Module):
                 prev_flat, s2k_rep, prev_s2k, bda_rep,
                 (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
                 fast_inference=True, flat_channels=True,
+                prepacked=packed_cache,
             )[None]
         else:
             shifted = shift_bev(
                 prev_flat, s2k_rep, prev_s2k, bda_rep,
                 (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
-                fast_inference=True,
+                fast_inference=True, prepacked=packed_cache,
             )
             shifted = shifted.reshape(b, f1, ny, nx, ch)
             shifted = jnp.moveaxis(shifted, 1, 3).reshape(
@@ -594,6 +599,10 @@ class RCBEVDet(nn.Module):
             )
             x = self.camf(x, radar_bev, train=False, fast=True)
         preds = self.head(x, train=False)
+        if packed_cache:
+            from ..ops.deform_attn import _pack_corners
+
+            return preds, _pack_corners(key_bev)
         return preds, key_bev
 
     def __call__(self, batch, train=False, with_prev=True,

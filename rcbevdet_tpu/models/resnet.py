@@ -38,13 +38,20 @@ class ResNet(nn.Module):
             x, use_running_average=not train, update_stats=update_stats
         )
         x = nn.relu(x)
-        # NOTE: reduce_window costs 0.44 ms here (4x its memory floor) but
-        # a 9-strided-slice elementwise max measured WORSE in-graph
-        # (+1.4 ms, r4 profile) — the fusion it forms breaks the
-        # surrounding conv layouts.  Keep the native lowering.
-        x = nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
-        )
+        # reduce_window costs 0.44 ms here (4x its memory floor) and the
+        # r4 9-strided-slice XLA max was WORSE in-graph (+1.4 ms — its
+        # fusion broke neighbor conv layouts); the Pallas phase-split
+        # kernel pins its own layouts like the sibling conv kernels.
+        # Forward-only (no VJP), so inference only — train keeps the
+        # native lowering.
+        if not train:
+            from ..ops.conv_pallas import maxpool3x3_s2
+
+            x = maxpool3x3_s2(x)
+        else:
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
 
         outs = []
         width = 64

@@ -31,7 +31,7 @@ def _embed4(bda):
 
 def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
               grid_lower_bound, grid_interval, bda_adj=None,
-              fast_inference=False, flat_channels=False):
+              fast_inference=False, flat_channels=False, prepacked=False):
     """Warp adjacent-frame BEV features into the key frame.
 
     Args:
@@ -47,7 +47,7 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     Returns:
       [B, H, W, C] warped feature ([H, W, B*C] with ``flat_channels``).
     """
-    b, h, w, c = feat.shape
+    b, h, w, c = feat.shape  # prepacked: c = 4 * true channels
     c02l0 = sensor2keyego_key[:, 0]  # [B, 4, 4]
     c12l0 = sensor2keyego_adj[:, 0]
     bda4 = _embed4(bda)
@@ -90,6 +90,7 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
         lambda f, gg: grid_sample_2d_packed(
             f, gg, align_corners=True, split_batch_gather=fast_inference,
             pallas_combine=fast_inference, flat_channels=flat_channels,
+            prepacked=prepacked,
         )
     )
     out = warp(feat, g)

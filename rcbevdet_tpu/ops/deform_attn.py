@@ -165,7 +165,8 @@ def packed_corner_parts_nogather(value_bhwc, fx, fy, h, w):
     return packed.reshape(n * h * w, 4 * hd), flat_idx, slot_w
 
 
-def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False):
+def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False,
+                       prepacked=False):
     """Pack corners + row-gather ONLY (no slot-weight computation).
 
     Feeds :func:`deform_attn_pallas.combine4_p_reduce_fused`, which derives
@@ -173,10 +174,18 @@ def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False):
     the [N, 4, S] weight stack never exist.  Returns [N, S, 4*hd].
 
     ``split_batch_gather``: one gather per batch row (VMEM-resident-table
-    fast path for wide tables, see :func:`packed_bilinear_parts`)."""
+    fast path for wide tables, see :func:`packed_bilinear_parts`).
+    ``prepacked``: value_bhwc is ALREADY the [N, H, W, 4*hd] corner table
+    (the cached-BEV serving path packs each frame ONCE when it enters the
+    cache instead of re-packing all F-1 frames every step — ~0.4 ms/step
+    at RCBEVDet shapes)."""
     n, s = fx.shape
-    hd = value_bhwc.shape[-1]
-    packed = _pack_corners(value_bhwc)
+    if prepacked:
+        hd = value_bhwc.shape[-1] // 4
+        packed = value_bhwc
+    else:
+        hd = value_bhwc.shape[-1]
+        packed = _pack_corners(value_bhwc)
     xc = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 1)
     yc = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 1)
     if split_batch_gather:

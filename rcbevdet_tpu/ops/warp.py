@@ -109,7 +109,8 @@ def nearest_resize(x, out_h, out_w):
 def grid_sample_2d_packed(imgs, grid, align_corners=True,
                           pallas_combine=False,
                           split_batch_gather=False,
-                          flat_channels=False):
+                          flat_channels=False,
+                          prepacked=False):
     """Batched bilinear grid sample via ONE packed-corner row gather.
 
     Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
@@ -130,6 +131,8 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
     from .deform_attn import packed_bilinear_parts
 
     n, h, w, c = imgs.shape
+    if prepacked:
+        c = c // 4  # imgs is the [N, H, W, 4C] corner table
     lead = grid.shape[1:-1]
     gx = grid[..., 0].reshape(n, -1)
     gy = grid[..., 1].reshape(n, -1)
@@ -149,7 +152,8 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
         from .deform_attn_pallas import combine4_p_reduce_fused
 
         patch = packed_gather_rows(
-            imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
+            imgs, fx, fy, h, w, split_batch_gather=split_batch_gather,
+            prepacked=prepacked,
         )
         if flat_channels:
             from .deform_attn_pallas import warp_combine_flat
@@ -161,6 +165,7 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
             out_dtype=imgs.dtype,
         )
         return out.reshape((n,) + lead + (c,))
+    assert not prepacked, "prepacked tables require the pallas_combine path"
     patch, slot_w = packed_bilinear_parts(
         imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
     )

@@ -125,3 +125,45 @@ def test_stream_server_roll_and_reset():
     srv.reset_stream(1)
     assert float(jnp.abs(srv.prev_bev[1]).sum()) == 0.0
     assert float(jnp.abs(srv.prev_bev[0]).sum()) > 0.0
+
+
+def test_packed_cache_matches_unpacked():
+    """forward_cached(packed_cache=True) over pre-packed corner tables ==
+    the plain path: head preds identical, and the returned cache entry is
+    exactly pack_corners(key_bev)."""
+    from rcbevdet_tpu.ops.deform_attn import _pack_corners
+
+    cfg = tiny_config(use_radar=True)
+    model = RCBEVDet(cfg)
+    rng = np.random.default_rng(9)
+    b1 = tiny_batch(rng, cfg, b=1)
+    variables = model.init(jax.random.PRNGKey(0), b1, train=False)
+    kb = _key_batch(b1)
+    ny = nx = cfg.bev_size
+    prev = jnp.asarray(
+        np.random.default_rng(10).standard_normal(
+            (1, cfg.num_adj, ny, nx, cfg.num_trans_channels)
+        ),
+        jnp.float32,
+    )
+    s2k = jnp.asarray(b1["sensor2keyegos"][:, 1:])
+
+    preds_u, key_u = model.apply(
+        variables, kb, prev, s2k, None, method=RCBEVDet.forward_cached
+    )
+    prev_packed = _pack_corners(
+        prev.reshape(cfg.num_adj, ny, nx, -1)
+    ).reshape(1, cfg.num_adj, ny, nx, -1)
+    preds_p, cache_p = model.apply(
+        variables, kb, prev_packed, s2k, None, True,
+        method=RCBEVDet.forward_cached,
+    )
+    for k in preds_u:
+        np.testing.assert_allclose(
+            np.asarray(preds_p[k]), np.asarray(preds_u[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cache_p), np.asarray(_pack_corners(key_u)),
+        rtol=1e-6, atol=1e-6,
+    )

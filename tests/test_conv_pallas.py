@@ -179,3 +179,21 @@ def test_real_shape_compiles_on_tpu():
     ref = conv3x3_bn_act_xla(x, k, s, b, act="relu")
     err = float(jnp.abs(y - ref).max())
     assert err < 2e-2, err
+
+
+def test_maxpool3x3_s2_matches_xla(rng):
+    from rcbevdet_tpu.ops.conv_pallas import maxpool3x3_s2, nn_max_pool_xla
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)), jnp.float32)
+    out = maxpool3x3_s2(x)
+    ref = nn_max_pool_xla(x)
+    assert out.shape == (2, 8, 12, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_maxpool3x3_s2_odd_w_falls_back(rng):
+    from rcbevdet_tpu.ops.conv_pallas import maxpool3x3_s2, nn_max_pool_xla
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 10, 4)), jnp.float32)
+    out = maxpool3x3_s2(x)  # w_out=5 odd -> XLA route
+    np.testing.assert_allclose(np.asarray(out), np.asarray(nn_max_pool_xla(x)))
