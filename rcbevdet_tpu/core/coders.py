@@ -58,12 +58,11 @@ def centerpoint_decode(
     # exact whenever per-class peaks don't exceed K (always true at K=500
     # with a 10-class 128x128 map when peaks are sparse) and simpler on TPU.
     flat = heatmap.transpose(0, 3, 1, 2).reshape(b, -1)  # [B, C*H*W]
-    # approx_max_k with recall_target=1.0 is EXACT (XLA sizes the
-    # PartialReduce so no true top-k entry can be dropped) but lowers to
-    # the two-phase partial-reduce instead of lax.top_k's full variadic
-    # sort — 0.35 ms -> ~0.05 at [1, 164k] on v5e.  CPU lowers both to the
-    # same exact sort, so the decode-parity oracles are unaffected.
-    scores, idx = jax.lax.approx_max_k(flat, max_num, recall_target=1.0)
+    # r5 note: approx_max_k(recall_target=1.0) was tried for the 0.35 ms
+    # top-k sort at [1, 164k] — it lowers to the SAME full sort when exact
+    # recall is requested, so there is no exact faster lowering to take;
+    # recall < 1 would break the decode-parity oracles.
+    scores, idx = jax.lax.top_k(flat, max_num)  # [B, K]
     labels = (idx // (h * w)).astype(jnp.int32)
     pos = idx % (h * w)
     ys = (pos // w).astype(jnp.float32)

@@ -73,7 +73,7 @@ class _SplitConcatConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, a, b):
+    def __call__(self, a, b, fast=False):
         ca, cb = a.shape[-1], b.shape[-1]
         kernel = self.param(
             "kernel",
@@ -81,6 +81,14 @@ class _SplitConcatConv(nn.Module):
             (3, 3, ca + cb, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # r5 dead end (do not retry): routing this pair through the Pallas
+        # conv3x3 kernel at inference ballooned the radar middle encoder
+        # 1.70 -> 5.61 ms AND its neighbor radar_bev_backbone 0.58 -> 0.83
+        # — at 64 channels the kernel's per-tap [*, 64]x[64, 64] dots
+        # waste the MXU and the canvas layout pinning breaks the
+        # surrounding fusions.  The XLA pair at ~6x the bandwidth floor is
+        # still the in-graph winner.
+        del fast
         dn = ("NHWC", "HWIO", "NHWC")
         out = jax.lax.conv_general_dilated(
             a, kernel[:, :, :ca].astype(a.dtype), (1, 1),
@@ -153,6 +161,7 @@ class PointPillarsScatterRCS(nn.Module):
         rcs_att = _RCSAtt(self.in_channels, name="rcs_att")(heat, feat)
         rcs_att = rcs_att.astype(pillar_feats.dtype)
         out = _SplitConcatConv(self.in_channels, name="compress")(
-            features, rcs_att
+            features, rcs_att,
+            fast=not train and not self.is_initializing(),
         )
         return out

@@ -38,20 +38,16 @@ class ResNet(nn.Module):
             x, use_running_average=not train, update_stats=update_stats
         )
         x = nn.relu(x)
-        # reduce_window costs 0.44 ms here (4x its memory floor) and the
-        # r4 9-strided-slice XLA max was WORSE in-graph (+1.4 ms — its
-        # fusion broke neighbor conv layouts); the Pallas phase-split
-        # kernel pins its own layouts like the sibling conv kernels.
-        # Forward-only (no VJP), so inference only — train keeps the
-        # native lowering.
-        if not train:
-            from ..ops.conv_pallas import maxpool3x3_s2
-
-            x = maxpool3x3_s2(x)
-        else:
-            x = nn.max_pool(
-                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
-            )
+        # reduce_window costs 0.44 ms here (4x its memory floor), but BOTH
+        # replacements measured WORSE in-graph: the r4 9-strided-slice XLA
+        # max (+1.4 ms) AND the r5 Pallas phase-split kernel
+        # (ops/conv_pallas.py::maxpool3x3_s2; backbone 2.22 -> 3.52 ms +
+        # 0.55 ms of new phase-slice copies — the stem's producer/consumer
+        # convs lose their fused layouts).  Keep the native lowering; the
+        # kernel stays available (tested) for standalone use.
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
 
         outs = []
         width = 64

@@ -305,7 +305,7 @@ def _maxpool_s2_kernel(p00_ref, p01_ref, p10_ref, p11_ref, o_ref, *, tile_h,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
-def maxpool3x3_s2(x, tile_h=16, interpret=None):
+def maxpool3x3_s2(x, tile_h=8, interpret=None):
     """3x3 / stride-2 / pad-1 max pool, NHWC (the ResNet stem pool).
 
     XLA's reduce_window runs this at ~4x its memory floor on v5e (0.44 ms

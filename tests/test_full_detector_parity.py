@@ -55,6 +55,7 @@ GRID = {
 PC_RANGE = (-8.0, -8.0, -5.0, 8.0, 8.0, 3.0)
 RADAR_VOXEL = (0.125, 0.125, 8.0)
 CANVAS = 128
+FX, FY = 41.37, 41.81  # deliberately non-round (see _make_geometry)
 CLASSES = ["car", "truck", "construction_vehicle", "bus", "trailer",
            "barrier", "motorcycle", "bicycle", "pedestrian", "traffic_cone"]
 
@@ -202,8 +203,8 @@ def _make_geometry(rng, n_frames=F):
     ).astype(np.float32)
 
     intr = np.zeros((n_frames, N_CAMS, 3, 3), np.float32)
-    intr[..., 0, 0] = 41.37
-    intr[..., 1, 1] = 41.81
+    intr[..., 0, 0] = FX
+    intr[..., 1, 1] = FY
     intr[..., 0, 2] = W_IMG / 2 + 0.373
     intr[..., 1, 2] = H_IMG / 2 - 0.291
     intr[..., 2, 2] = 1.0
@@ -521,6 +522,15 @@ def test_full_detector_forward_parity(monkeypatch):
     det.eval()
     _randomize_params(det, rng)
     _randomize_bn_stats(det, rng)
+    # keep heatmap logits OUT of clip_sigmoid saturation: fully-randomized
+    # params drive most scores to exactly 1e-4 / 1-1e-4 (clamp plateaus),
+    # and those EXACT ties are what made circle NMS keep different members
+    # of tied pairs (the old >= len-3 allowance).  With distinct scores
+    # the decoded sets must match exactly (VERDICT r4 item 9).
+    with torch.no_grad():
+        for name, p_ in det.pts_bbox_head.named_parameters():
+            if "heatmap" in name:
+                p_.mul_(0.22)
 
     # CPU shims for the reference's CUDA-only paths (same pattern as
     # test_camf_glue_parity): pytorch deform-attn core + cpu device
@@ -658,7 +668,7 @@ def test_full_detector_forward_parity(monkeypatch):
         ):
             used[jbest] = True
             matched += 1
-    assert matched >= len(j_boxes) - 3, (matched, len(j_boxes))
+    assert matched == len(j_boxes), (matched, len(j_boxes))
 
 
 @pytest.mark.slow
