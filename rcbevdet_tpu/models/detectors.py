@@ -580,14 +580,16 @@ class RCBEVDet(nn.Module):
                 prepacked=packed_cache,
             )[None]
         else:
+            # grouped flat-channel combine: each stream's frames land in
+            # its own [ny, nx, F1*C] slab straight from the kernel — the
+            # [B*F1, ny, nx, C] -> [B, ny, nx, F1*C] moveaxis relayout
+            # (~0.55 ms/frame at 8 streams) never exists
             shifted = shift_bev(
                 prev_flat, s2k_rep, prev_s2k, bda_rep,
                 (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
                 fast_inference=True, prepacked=packed_cache,
+                flat_channels=True, flat_groups=b,
             )
-            shifted = shifted.reshape(b, f1, ny, nx, ch)
-            shifted = jnp.moveaxis(shifted, 1, 3).reshape(
-                b, ny, nx, f1 * ch)
         bev = jnp.concatenate([key_bev, shifted], axis=-1)
         feats = self.bev_backbone(bev, train=False, update_stats=False,
                                   fast=True)

@@ -31,7 +31,8 @@ def _embed4(bda):
 
 def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
               grid_lower_bound, grid_interval, bda_adj=None,
-              fast_inference=False, flat_channels=False, prepacked=False):
+              fast_inference=False, flat_channels=False, prepacked=False,
+              flat_groups=1):
     """Warp adjacent-frame BEV features into the key frame.
 
     Args:
@@ -90,7 +91,7 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
         lambda f, gg: grid_sample_2d_packed(
             f, gg, align_corners=True, split_batch_gather=fast_inference,
             pallas_combine=fast_inference, flat_channels=flat_channels,
-            prepacked=prepacked,
+            prepacked=prepacked, flat_groups=flat_groups,
         )
     )
     out = warp(feat, g)

@@ -72,7 +72,7 @@ def _slot_weights(fx, fy, h, w, dt):
 
 
 def _warp_flat_kernel(p_ref, fx_ref, fy_ref, e_ref, r_ref, o_ref,
-                      *, n, h, w, hd):
+                      *, n, h, w, hd, out3d=False):
     """Per-frame slot-combine writing frame-stacked channel groups.
 
     One grid step owns a [T, N*hd] output tile; the frame loop is unrolled
@@ -95,13 +95,18 @@ def _warp_flat_kernel(p_ref, fx_ref, fy_ref, e_ref, r_ref, o_ref,
             val, r_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        o_ref[:, hh * hd:(hh + 1) * hd] = acc.astype(o_ref.dtype)
+        if out3d:  # grouped: one [1, T, n*hd] block per (group, q) step
+            o_ref[0, :, hh * hd:(hh + 1) * hd] = acc.astype(o_ref.dtype)
+        else:
+            o_ref[:, hh * hd:(hh + 1) * hd] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hd", "h", "w", "block_q", "interpret")
+    jax.jit,
+    static_argnames=("hd", "h", "w", "groups", "block_q", "interpret"),
 )
-def warp_combine_flat(patch, fx, fy, hd, h, w, block_q=512, interpret=None):
+def warp_combine_flat(patch, fx, fy, hd, h, w, groups=1, block_q=512,
+                      interpret=None):
     """Slot-combine for the batched bilinear warp, emitting [Lq, N*hd].
 
     Same math as :func:`combine4_p_reduce_fused` with p=1/out_dot=True, but
@@ -111,11 +116,16 @@ def warp_combine_flat(patch, fx, fy, hd, h, w, block_q=512, interpret=None):
     never exists.  Output dtype follows the patch dtype.
 
     patch: [N, Lq, 4*hd]; fx/fy: [N, Lq] f32.  Returns [Lq, N*hd].
+
+    ``groups`` > 1 (multi-stream serving): N = groups * frames; rows are
+    group-major and each group's frames land in ITS output slab —
+    returns [groups, Lq, (N // groups) * hd].
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, lq, c4 = patch.shape
-    assert c4 == 4 * hd
+    assert c4 == 4 * hd and n % groups == 0
+    npg = n // groups
     t = block_q
     while lq % t:
         t //= 2
@@ -125,24 +135,47 @@ def warp_combine_flat(patch, fx, fy, hd, h, w, block_q=512, interpret=None):
     r = jnp.asarray(
         (np.arange(c4)[:, None] % hd == np.arange(hd)[None]), np.float32
     ).astype(patch.dtype)
-    row_spec = pl.BlockSpec((n, 1, t), lambda q: (0, 0, q),
+    if groups == 1:
+        row_spec = pl.BlockSpec((n, 1, t), lambda q: (0, 0, q),
+                                memory_space=pltpu.VMEM)
+        f = pl.pallas_call(
+            functools.partial(_warp_flat_kernel, n=n, h=h, w=w, hd=hd),
+            grid=(lq // t,),
+            in_specs=[
+                pl.BlockSpec((n, t, c4), lambda q: (0, q, 0),
+                             memory_space=pltpu.VMEM),
+                row_spec,
+                row_spec,
+                pl.BlockSpec((4, c4), lambda q: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c4, hd), lambda q: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((t, n * hd), lambda q: (q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((lq, n * hd), patch.dtype),
+            interpret=interpret,
+        )
+        return f(patch, fx.reshape(n, 1, lq), fy.reshape(n, 1, lq), e, r)
+    row_spec = pl.BlockSpec((npg, 1, t), lambda g, q: (g, 0, q),
                             memory_space=pltpu.VMEM)
     f = pl.pallas_call(
-        functools.partial(_warp_flat_kernel, n=n, h=h, w=w, hd=hd),
-        grid=(lq // t,),
+        functools.partial(_warp_flat_kernel, n=npg, h=h, w=w, hd=hd,
+                          out3d=True),
+        grid=(groups, lq // t),
         in_specs=[
-            pl.BlockSpec((n, t, c4), lambda q: (0, q, 0),
+            pl.BlockSpec((npg, t, c4), lambda g, q: (g, q, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
             row_spec,
-            pl.BlockSpec((4, c4), lambda q: (0, 0),
+            pl.BlockSpec((4, c4), lambda g, q: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c4, hd), lambda q: (0, 0),
+            pl.BlockSpec((c4, hd), lambda g, q: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t, n * hd), lambda q: (q, 0),
+        out_specs=pl.BlockSpec((1, t, npg * hd), lambda g, q: (g, q, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lq, n * hd), patch.dtype),
+        out_shape=jax.ShapeDtypeStruct((groups, lq, npg * hd), patch.dtype),
         interpret=interpret,
     )
     return f(patch, fx.reshape(n, 1, lq), fy.reshape(n, 1, lq), e, r)

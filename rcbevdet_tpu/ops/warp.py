@@ -110,7 +110,8 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
                           pallas_combine=False,
                           split_batch_gather=False,
                           flat_channels=False,
-                          prepacked=False):
+                          prepacked=False,
+                          flat_groups=1):
     """Batched bilinear grid sample via ONE packed-corner row gather.
 
     Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
@@ -158,7 +159,13 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
         if flat_channels:
             from .deform_attn_pallas import warp_combine_flat
 
-            out = warp_combine_flat(patch, fx, fy, hd=c, h=h, w=w)
+            out = warp_combine_flat(
+                patch, fx, fy, hd=c, h=h, w=w, groups=flat_groups
+            )
+            if flat_groups > 1:  # [G, ..., (N//G)*C] per-stream slabs
+                return out.reshape(
+                    (flat_groups,) + lead + (n // flat_groups * c,)
+                )
             return out.reshape(lead + (n * c,))
         out = combine4_p_reduce_fused(
             patch, fx, fy, None, p=1, hd=c, h=h, w=w, out_dot=True,
