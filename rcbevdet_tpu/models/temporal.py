@@ -87,6 +87,11 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
     gx = warped[..., 0] / (w - 1.0) * 2.0 - 1.0
     gy = warped[..., 1] / (h - 1.0) * 2.0 - 1.0
     g = jnp.stack([gx, gy], -1)  # [B, H, W, 2]
+    # split_batch_gather A/B (r5, 8-stream serving): the per-frame
+    # VMEM-table gathers pay ~10.5 MB of staging copies per frame (2.1 ms
+    # of 'squeeze' copies over 64 frames) BUT one global-row HBM gather
+    # measured 13.4 ms vs split's 4.0+2.1 — wide 640-byte rows from HBM
+    # run ~13 ns/row vs ~0.9 from a VMEM-resident table.  Split stays.
     warp = jax.checkpoint(
         lambda f, gg: grid_sample_2d_packed(
             f, gg, align_corners=True, split_batch_gather=fast_inference,
