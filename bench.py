@@ -98,11 +98,13 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), full, train=False)
 
     ny = nx = cfg.bev_size
-    # packed-corner cache: each frame is packed once when it enters the
-    # cache (forward_cached packed_cache=True), the warp skips the 8-frame
-    # re-pack every step
+    # NOTE r5: the packed-corner cache (forward_cached packed_cache=True)
+    # was A/B'd here and REVERTED for the rolled-serving semantics: packing
+    # once per frame saves 0.43 ms/step of re-pack, but rolling + feeding
+    # the 4x-larger cache costs ~0.5 (84 MB shift + input relayout) — net
+    # negative at B=1 and a wash at 8 streams.
     prev_bev0 = jnp.asarray(
-        rng.standard_normal((1, num_adj, ny, nx, 4 * cfg.num_trans_channels)),
+        rng.standard_normal((1, num_adj, ny, nx, cfg.num_trans_channels)),
         jnp.float32,
     )
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
@@ -127,7 +129,7 @@ def main():
         )
         def step(variables, batch, prev_bev, prev_s2k, pool_meta):
             preds, key_bev = m.apply(
-                variables, batch, prev_bev, prev_s2k, pool_meta, True,
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             dec = decode_predictions(preds)

@@ -59,11 +59,8 @@ class StreamServer:
         self.pool_meta = pool_meta
         self.test_cfg = test_cfg
         ny = nx = cfg.bev_size
-        # packed-corner cache entries (forward_cached packed_cache=True):
-        # 4x memory, but each frame is packed once instead of re-packed
-        # under every subsequent step's warp
         self._cache_shape = (
-            n_streams, cfg.num_adj, ny, nx, 4 * cfg.num_trans_channels
+            n_streams, cfg.num_adj, ny, nx, cfg.num_trans_channels
         )
         self.prev_bev = jnp.zeros(self._cache_shape, dtype)
         # new streams start from a zero cache; a freshly-reset stream's
@@ -80,7 +77,7 @@ class StreamServer:
         )
         def _step(variables, batch, prev_bev, prev_s2k, pool_meta):
             preds, key_bev = model.apply(
-                variables, batch, prev_bev, prev_s2k, pool_meta, True,
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             dec = decode_predictions(preds, test_cfg)

@@ -149,14 +149,19 @@ def _ref_model_cfg():
     )
 
 
-def _make_geometry(rng, n_frames=F):
+def _make_geometry(rng, n_frames=None):
     """Realistic 6-cam rig + small SE(3) ego motion, in OUR batch layout.
+
+    n_frames=None reads the module global F at CALL time (the full-size
+    harness monkeypatches the geometry constants).
 
     Every scalar is deliberately NON-round: grid-aligned geometry (integral
     focal lengths, axis-aligned extrinsics, half-cell-multiple coords) puts
     LSS frustum points exactly on voxel boundaries where f32 vs f64 rank
     computation legitimately flips bins — a tie-break artifact, not a
     parity signal."""
+    if n_frames is None:
+        n_frames = F
     # cam (x right, y down, z fwd) -> ego (x fwd, y left, z up)
     r0 = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
     s2e = np.zeros((n_frames, N_CAMS, 4, 4), np.float32)
@@ -248,11 +253,13 @@ def _our_batch(rng, s2k, intr, post_rot, post_tran, bda, radar_pts):
     }
 
 
-def _ref_inputs(batch, s2e, e2k, n_frames=F):
+def _ref_inputs(batch, s2e, e2k, n_frames=None):
     """OUR batch -> the reference 7-tuple img_inputs (bevdet_rc.py:698-740):
     imgs are CAMERA-major [B, N*F, C, H, W]; the matrix tensors are
     FRAME-major [B, F*N, ...]; ego2globals are the key->global embeddings
     of the per-frame ego poses (global == key ego here)."""
+    if n_frames is None:
+        n_frames = F
     imgs = np.asarray(batch["imgs"])[0]  # [n_frames, N, H, W, 3]
     t_imgs = np.zeros((1, N_CAMS * n_frames, 3, H_IMG, W_IMG), np.float32)
     for n in range(N_CAMS):
