@@ -125,9 +125,13 @@ def main():
         import functools
 
         @functools.partial(
-            jax.jit, compiler_options=tpu_compiler_options()
+            jax.jit, donate_argnums=(2,),
+            compiler_options=tpu_compiler_options(),
         )
         def step(variables, batch, prev_bev, prev_s2k, pool_meta):
+            # prev_bev donated: the cache roll reuses the old buffer
+            # in place instead of a fresh allocation + copy per step
+            # (the deployed StreamServer donates the same way)
             preds, key_bev = m.apply(
                 variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
@@ -165,7 +169,9 @@ def main():
             kb = dict(key_batch, imgs=key_batch["imgs"].astype(dt))
             prev_bev = prev_bev0.astype(dt)
         else:
-            vbench, kb, prev_bev = variables, key_batch, prev_bev0
+            # fresh copy: the step donates its cache argument and
+            # prev_bev0 is reused later for the NMS-cost instance
+            vbench, kb, prev_bev = variables, key_batch, prev_bev0 + 0.0
 
         step = make_step(model_bf16 if dtype_name == "bfloat16" else model)
         dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k, pool_meta)
@@ -206,7 +212,8 @@ def main():
     # ONCE through a fresh jit instance so the timed executables above stay
     # un-poisoned (the reference's timed loop includes its CUDA rotated NMS)
     step_nms = make_step()
-    dec, _ = step_nms(variables, key_batch, prev_bev0, prev_s2k, pool_meta)
+    dec, _ = step_nms(variables, key_batch, prev_bev0 + 0.0, prev_s2k,
+                      pool_meta)
     t0 = time.perf_counter()
     bboxes, scores, labels, valid = jax.device_get(
         (dec.bboxes, dec.scores, dec.labels, dec.valid)
@@ -294,7 +301,7 @@ def main():
             )
             psb = jnp.asarray(fullb["sensor2keyegos"][:, 1:])
             stepb = make_step(model_bf16)
-            dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)
+            dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)  # pbb donated
             jax.block_until_ready(dec.bboxes)
             for _ in range(3):
                 dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)
