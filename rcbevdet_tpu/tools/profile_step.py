@@ -157,6 +157,14 @@ def main(argv=None):
         full["gt_depth"] = (
             jnp.zeros((b, 6, hf, wf)).at[:, :, ::7, ::11].set(3.0)
         )
+        # the shipped train pooling path: loader-precomputed tables
+        from ..models.view_transformer import make_lss_pool_transform
+
+        tfm = make_lss_pool_transform(mcfg)
+        full_np = tfm({k: np.asarray(v) for k, v in full.items()})
+        full["lss_pool"] = jax.tree_util.tree_map(
+            jnp.asarray, full_np["lss_pool"]
+        )
         tx = make_optimizer(
             params=variables["params"], freeze_img=mcfg.freeze_img,
         )
