@@ -46,7 +46,11 @@ def convert_tensor(name: str, w: np.ndarray):
         # kernels — transposing a square 128x128 table would corrupt it
         # silently (caught by tests/test_reference_module_parity.py::
         # test_camf_glue_parity).
-        if name.endswith("_embed.weight") or ".embedding." in name:
+        if (name.endswith("_embed.weight") or ".embedding." in name
+                or name.endswith("queries_long.weight")
+                or name.endswith("queries_short.weight")):
+            # lookup tables, not linear kernels (HoP's per-cell query
+            # embeddings included)
             return w
         return np.transpose(w, (1, 0))
     return w

@@ -303,6 +303,37 @@ RULES: List[Tuple[str, str]] = [
     (r"^RadarConvFuser_fuse\.deconv\.(\d+)\.1\.(\w+)$",
      r"camf/fuser/deconv\1_bn/@bn2"),
     # ---- head ----
+    # --- HoP BiTemporalPredictor (history_decoder, temporal_backbone.py
+    # :152-336 + temporal_cross_attention.py) ---
+    (r"^history_decoder\.proj\.0\.(weight)$",
+     r"history_decoder/proj_conv/@conv1"),
+    (r"^history_decoder\.proj\.1\.(weight|bias)$",
+     r"history_decoder/proj_ln/@ln1"),
+    (r"^history_decoder\.frame_embeds$",
+     r"history_decoder/frame_embeds"),
+    (r"^history_decoder\.queries_(long|short)\.weight$",
+     r"history_decoder/queries_\1"),
+    (r"^history_decoder\.input_proj\.0\.(weight|bias)$",
+     r"history_decoder/input_proj/@dense1"),
+    (r"^history_decoder\.input_proj\.1\.(weight|bias)$",
+     r"history_decoder/input_proj_ln/@ln1"),
+    (r"^history_decoder\.output_proj\.0\.(weight)$",
+     r"history_decoder/output_conv/@conv1"),
+    (r"^history_decoder\.output_proj\.1\.(weight|bias)$",
+     r"history_decoder/output_ln/@ln1"),
+    (r"^history_decoder\.decoder_(long|short)\.layers\.(\d)\.attentions\.0"
+     r"\.(sampling_offsets|attention_weights|value_proj|output_proj)"
+     r"\.(weight|bias)$",
+     r"history_decoder/\1_layer\2/\3/@dense4"),
+    (r"^history_decoder\.decoder_(long|short)\.layers\.(\d)\.ffns\.0"
+     r"\.layers\.0\.0\.(weight|bias)$",
+     r"history_decoder/\1_layer\2/ffn_fc1/@dense3"),
+    (r"^history_decoder\.decoder_(long|short)\.layers\.(\d)\.ffns\.0"
+     r"\.layers\.1\.(weight|bias)$",
+     r"history_decoder/\1_layer\2/ffn_fc2/@dense3"),
+    (r"^history_decoder\.decoder_(long|short)\.layers\.(\d)\.norms"
+     r"\.([01])\.(weight|bias)$",
+     r"history_decoder/\1_layer\2/norm\3/@ln4"),
     (r"^pts_bbox_head\.shared_conv\.conv\.weight$",
      r"pts_bbox_head/shared_conv/kernel"),
     (r"^pts_bbox_head\.shared_conv\.bn\.(\w+)$", r"pts_bbox_head/shared_bn/@bn1"),

@@ -685,6 +685,7 @@ def install():
     rbm = _module("mmcv.runner.base_module")
     rbm.BaseModule = BaseModule
     rbm.ModuleList = nn.ModuleList
+    rbm.Sequential = nn.Sequential
     runner.base_module = rbm
     mmcv.runner = runner
 
@@ -1280,3 +1281,196 @@ def load_vovnet():
     d2l.FrozenBatchNorm2d = FrozenBatchNorm2d
     d2l.get_norm = d2_get_norm
     return _load_by_path("mmdet3d/models/backbones/vovnet.py")
+
+
+# ------------------------------------------------- HoP BiTemporalPredictor
+class SinePositionalEncoding(nn.Module):
+    """Faithful mmcv SinePositionalEncoding (bricks/transformer/
+    positional_encoding) — the HoP decoder's bev_pos (deterministic,
+    parameter-free)."""
+
+    def __init__(self, num_feats, temperature=10000, normalize=False,
+                 scale=2 * math.pi, eps=1e-6, offset=0.0, init_cfg=None):
+        super().__init__()
+        self.num_feats = num_feats
+        self.temperature = temperature
+        self.normalize = normalize
+        self.scale = scale
+        self.eps = eps
+        self.offset = offset
+
+    def forward(self, mask):
+        not_mask = 1 - mask.to(torch.int)
+        y_embed = not_mask.cumsum(1, dtype=torch.float32)
+        x_embed = not_mask.cumsum(2, dtype=torch.float32)
+        if self.normalize:
+            y_embed = (y_embed + self.offset) / (
+                y_embed[:, -1:, :] + self.eps) * self.scale
+            x_embed = (x_embed + self.offset) / (
+                x_embed[:, :, -1:] + self.eps) * self.scale
+        dim_t = torch.arange(self.num_feats, dtype=torch.float32)
+        dim_t = self.temperature ** (
+            2 * (torch.div(dim_t, 2, rounding_mode="floor")) / self.num_feats)
+        pos_x = x_embed[:, :, :, None] / dim_t
+        pos_y = y_embed[:, :, :, None] / dim_t
+        b, h, w = mask.size()
+        pos_x = torch.stack(
+            (pos_x[:, :, :, 0::2].sin(), pos_x[:, :, :, 1::2].cos()),
+            dim=4).view(b, h, w, -1)
+        pos_y = torch.stack(
+            (pos_y[:, :, :, 0::2].sin(), pos_y[:, :, :, 1::2].cos()),
+            dim=4).view(b, h, w, -1)
+        return torch.cat((pos_y, pos_x), dim=3).permute(0, 3, 1, 2)
+
+
+def _msda_pytorch(value, value_spatial_shapes, sampling_locations,
+                  attention_weights):
+    """mmcv.ops.multi_scale_deform_attn.multi_scale_deformable_attn_pytorch,
+    transcribed faithfully (grid_sample align_corners=False, zero pad)."""
+    import torch.nn.functional as F
+
+    bs, _, num_heads, embed_dims = value.shape
+    _, num_queries, _, num_levels, num_points, _ = sampling_locations.shape
+    value_list = value.split(
+        [int(h_) * int(w_) for h_, w_ in value_spatial_shapes], dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    sampling_value_list = []
+    for level, (h_, w_) in enumerate(value_spatial_shapes):
+        value_l_ = value_list[level].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, embed_dims, int(h_), int(w_))
+        sampling_grid_l_ = sampling_grids[:, :, :, level].transpose(
+            1, 2).flatten(0, 1)
+        sampling_value_l_ = F.grid_sample(
+            value_l_, sampling_grid_l_, mode="bilinear",
+            padding_mode="zeros", align_corners=False)
+        sampling_value_list.append(sampling_value_l_)
+    attention_weights = attention_weights.transpose(1, 2).reshape(
+        bs * num_heads, 1, num_queries, num_levels * num_points)
+    output = (torch.stack(sampling_value_list, dim=-2).flatten(-2)
+              * attention_weights).sum(-1).view(
+                  bs, num_heads * embed_dims, num_queries)
+    return output.transpose(1, 2).contiguous()
+
+
+class TransformerLayerSequence(BaseModule):
+    """mmcv.cnn.bricks.transformer.TransformerLayerSequence subset."""
+
+    def __init__(self, transformerlayers=None, num_layers=None,
+                 init_cfg=None):
+        super().__init__(init_cfg)
+        import copy as _copy
+
+        reg = sys.modules["mmcv.cnn.bricks.registry"]
+        bf = sys.modules["mmcv.utils"].build_from_cfg
+        if isinstance(transformerlayers, dict):
+            transformerlayers = [
+                _copy.deepcopy(transformerlayers) for _ in range(num_layers)
+            ]
+        self.num_layers = num_layers
+        self.layers = nn.ModuleList(
+            bf(transformerlayers[i], reg.TRANSFORMER_LAYER)
+            for i in range(num_layers)
+        )
+        self.embed_dims = self.layers[0].embed_dims
+        self.pre_norm = self.layers[0].pre_norm
+
+
+def load_temporal_backbone():
+    """Load the REAL reference HoP stack: MyCustomBaseTransformerLayer +
+    TemporalCrossAttention + BEVFormerLayer + TemporalDecoder +
+    BiTemporalPredictor (temporal_backbone.py:56-336), with the mmcv
+    transformer scaffolding shimmed faithfully (SinePositionalEncoding,
+    FFN, TransformerLayerSequence, pytorch deform-attn core)."""
+    install()
+    mmcv = sys.modules["mmcv"]
+    cnn = sys.modules["mmcv.cnn"]
+    transformer = sys.modules["mmcv.cnn.bricks.transformer"]
+    registry = sys.modules["mmcv.cnn.bricks.registry"]
+    for rname in ("TRANSFORMER_LAYER", "TRANSFORMER_LAYER_SEQUENCE",
+                  "POSITIONAL_ENCODING", "FEEDFORWARD_NETWORK"):
+        if not hasattr(registry, rname):
+            setattr(registry, rname, Registry(rname))
+
+    def build_from_cfg(cfg, reg, default_args=None):
+        cfg = dict(cfg)
+        for k, v in (default_args or {}).items():
+            cfg.setdefault(k, v)
+        t = cfg.pop("type")
+        cls = reg.get(t) if not isinstance(t, type) else t
+        return cls(**cfg)
+
+    class ConfigDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    def deprecated_api_warning(*da, **dk):
+        def deco(fn):
+            return fn
+        return deco
+
+    mmcv.ConfigDict = ConfigDict
+    mmcv.deprecated_api_warning = deprecated_api_warning
+    mu = _module("mmcv.utils")
+    mu.ConfigDict = ConfigDict
+    mu.build_from_cfg = build_from_cfg
+    mu.deprecated_api_warning = deprecated_api_warning
+    mu.to_2tuple = to_2tuple
+    mu.TORCH_VERSION = torch.__version__
+    mu.digit_version = lambda v: tuple(
+        int(x) for x in str(v).split("+")[0].split(".")[:3] if x.isdigit()
+    )
+
+    class _Ext:
+        def __getattr__(self, k):
+            raise RuntimeError("CUDA ext unavailable on the CPU oracle")
+
+    mu.ext_loader = types.SimpleNamespace(load_ext=lambda *a, **k: _Ext())
+    mmcv.utils = mu
+    cnn.Linear = nn.Linear
+    cnn.build_activation_layer = (
+        lambda cfg: {"ReLU": nn.ReLU, "GELU": nn.GELU}[dict(cfg)["type"]]()
+    )
+    transformer.TransformerLayerSequence = TransformerLayerSequence
+    transformer.build_transformer_layer_sequence = lambda cfg: build_from_cfg(
+        cfg, registry.TRANSFORMER_LAYER_SEQUENCE)
+    transformer.build_attention = lambda cfg: build_from_cfg(
+        cfg, registry.ATTENTION)
+
+    def build_feedforward_network(cfg, default_args=None):
+        cfg = dict(cfg)
+        cfg.pop("type", None)
+        for k, v in (default_args or {}).items():
+            cfg.setdefault(k, v)
+        return FFN(**cfg)
+
+    transformer.build_feedforward_network = build_feedforward_network
+    transformer.build_positional_encoding = lambda cfg: build_from_cfg(
+        cfg, registry.POSITIONAL_ENCODING)
+    drop_mod = _module("mmcv.cnn.bricks.drop")
+    drop_mod.build_dropout = transformer.build_dropout
+    registry.POSITIONAL_ENCODING.register_module(
+        module=SinePositionalEncoding)
+    registry.FEEDFORWARD_NETWORK.register_module(module=FFN)
+
+    ops = sys.modules.get("mmcv.ops") or _module("mmcv.ops")
+    msda_mod = _module("mmcv.ops.multi_scale_deform_attn")
+    msda_mod.multi_scale_deformable_attn_pytorch = _msda_pytorch
+    msda_mod.MultiScaleDeformableAttention = type(
+        "MultiScaleDeformableAttention", (nn.Module,), {})
+    ops.multi_scale_deform_attn = msda_mod
+    sys.modules["mmcv"].ops = ops
+
+    # the fp32 CUDA Function is referenced but never reached on CPU
+    fn_mod = _module(
+        "mmdet3d.models.model_utils.multi_scale_deformable_attn_function")
+    fn_mod.MultiScaleDeformableAttnFunction_fp32 = _stub
+    fn_mod.MultiScaleDeformableAttnFunction = _stub
+
+    _load_by_path(
+        "mmdet3d/models/model_utils/custom_base_transformer_layer.py")
+    _load_by_path("mmdet3d/models/model_utils/temporal_cross_attention.py")
+    _load_by_path("mmdet3d/models/model_utils/encoder.py")
+    return _load_by_path("mmdet3d/models/backbones/temporal_backbone.py")
