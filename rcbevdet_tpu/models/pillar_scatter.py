@@ -119,18 +119,33 @@ class PointPillarsScatterRCS(nn.Module):
         b, p, c = pillar_feats.shape
         ny, nx = self.output_shape
 
-        # python-unrolled over B, NOT vmapped: XLA's batched-scatter
+        # python-unrolled over B at B=1, NOT vmapped: XLA's batched-scatter
         # lowering serializes through [C, B, cells]-layout while loops
         # (~14 ms of relayout at 4-stream serving); per-sample scatters
         # stay on the fast lowering (same finding as the train-time LSS
-        # pooling, view_transformer.py)
-        features = jnp.stack(
-            [
-                scatter_pillars(pillar_feats[i], coors[i], pillar_mask[i],
-                                ny, nx)
-                for i in range(b)
-            ]
-        )  # [B, ny, nx, C]
+        # pooling, view_transformer.py).  At B>1 a single COMBINED scatter
+        # over batch-offset rows (neither vmapped nor looped — one
+        # standalone scatter of B*P rows) writes the whole [B, ny, nx, C]
+        # canvas in one buffer, instead of stacking B separate canvases.
+        if b == 1:
+            features = jnp.stack(
+                [
+                    scatter_pillars(pillar_feats[i], coors[i],
+                                    pillar_mask[i], ny, nx)
+                    for i in range(b)
+                ]
+            )  # [B, ny, nx, C]
+        else:
+            flat = jnp.where(
+                pillar_mask,
+                jnp.arange(b, dtype=jnp.int32)[:, None] * (ny * nx)
+                + coors[..., 1] * nx + coors[..., 2],
+                jnp.int32(1 << 30),
+            ).reshape(-1)
+            canvas = jnp.zeros((b * ny * nx, c), pillar_feats.dtype)
+            features = canvas.at[flat].set(
+                pillar_feats.reshape(-1, c), mode="drop"
+            ).reshape(b, ny, nx, c)
 
         r2 = rcs[..., 0] ** 2 + rcs[..., 1] ** 2
         true_rcs = nn.relu(rcs[..., -2] * r2)
