@@ -108,6 +108,11 @@ momentum_config = dict(
 )
 runner = dict(type="EpochBasedRunner", max_epochs=12)
 evaluation = dict(interval=4)
+# TPU train-path levers (ROADMAP r5): loader-precomputed static-capacity
+# LSS pooling tables (42 -> ~6 ms/step of pooling) — bit-exact vs the
+# dense pool; bf16 frozen-camera forward is opt-in via
+# model.train_camera_dtype = "bfloat16" (loss-curve A/B-tested).
+lss_pool_meta = True
 ema = dict(enabled=True, decay=0.999, init_updates=10560)
 sequential_control = dict(temporal_start_epoch=-1)
 load_from = "checkpoint/det-256x704-r50-BEV128-9kf-depth.ckpt"

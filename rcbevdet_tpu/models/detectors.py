@@ -521,7 +521,7 @@ class RCBEVDet(nn.Module):
         return self.radar_neck(ms, train=train)
 
     def forward_cached(self, batch, prev_bev, prev_sensor2keyegos,
-                       pool_meta=None, packed_cache=False):
+                       pool_meta=None, packed_cache=False, cache_ptr=None):
         """Deployment-style incremental inference (the FPS-benchmark
         semantics, reference tools/analysis_tools/benchmark_sequential.py +
         extract_img_feat_sequential, bevdet_rc.py:668-689): only the key
@@ -566,6 +566,24 @@ class RCBEVDet(nn.Module):
         gc = c.grid_config
         cache_ch = prev_bev.shape[-1]
         prev_flat = prev_bev.reshape(b * f1, ny, nx, cache_ch)
+        frame_order = None
+        if cache_ptr is not None:
+            # CIRCULAR cache (the fast serving roll): slot
+            # (cache_ptr - 1 - age) % f1 holds the frame of age age+1.
+            # The cache buffer itself stays in slot order (the caller
+            # overwrites ONE slot per step via dynamic_update_slice
+            # instead of shifting the whole cache); age order is applied
+            # here — to s2k via a tiny gather, to the feature tables via
+            # traced slot indices inside the warp's per-frame gather loop
+            # (the same staging slice it already pays).
+            ages = jnp.arange(f1, dtype=jnp.int32)
+            slots = jnp.mod(cache_ptr - 1 - ages, f1).astype(jnp.int32)
+            prev_sensor2keyegos = jnp.take(
+                prev_sensor2keyegos, slots, axis=1
+            )
+            frame_order = (
+                jnp.arange(b, dtype=jnp.int32)[:, None] * f1 + slots[None]
+            ).reshape(-1)
         s2k_rep = jnp.repeat(s2k, f1, axis=0)
         prev_s2k = prev_sensor2keyegos.reshape(b * f1, -1, 4, 4)
         bda_rep = jnp.repeat(bda, f1, axis=0)
@@ -577,7 +595,7 @@ class RCBEVDet(nn.Module):
                 prev_flat, s2k_rep, prev_s2k, bda_rep,
                 (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
                 fast_inference=True, flat_channels=True,
-                prepacked=packed_cache,
+                prepacked=packed_cache, frame_order=frame_order,
             )[None]
         else:
             # grouped flat-channel combine: each stream's frames land in
@@ -589,6 +607,7 @@ class RCBEVDet(nn.Module):
                 (gc["x"][0], gc["y"][0]), (gc["x"][2], gc["y"][2]),
                 fast_inference=True, prepacked=packed_cache,
                 flat_channels=True, flat_groups=b,
+                frame_order=frame_order,
             )
         bev = jnp.concatenate([key_bev, shifted], axis=-1)
         feats = self.bev_backbone(bev, train=False, update_stats=False,

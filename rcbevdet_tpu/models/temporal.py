@@ -32,7 +32,7 @@ def _embed4(bda):
 def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
               grid_lower_bound, grid_interval, bda_adj=None,
               fast_inference=False, flat_channels=False, prepacked=False,
-              flat_groups=1):
+              flat_groups=1, frame_order=None):
     """Warp adjacent-frame BEV features into the key frame.
 
     Args:
@@ -97,6 +97,7 @@ def shift_bev(feat, sensor2keyego_key, sensor2keyego_adj, bda,
             f, gg, align_corners=True, split_batch_gather=fast_inference,
             pallas_combine=fast_inference, flat_channels=flat_channels,
             prepacked=prepacked, flat_groups=flat_groups,
+            frame_order=frame_order,
         )
     )
     out = warp(feat, g)

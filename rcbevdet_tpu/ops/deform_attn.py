@@ -166,7 +166,7 @@ def packed_corner_parts_nogather(value_bhwc, fx, fy, h, w):
 
 
 def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False,
-                       prepacked=False):
+                       prepacked=False, frame_order=None):
     """Pack corners + row-gather ONLY (no slot-weight computation).
 
     Feeds :func:`deform_attn_pallas.combine4_p_reduce_fused`, which derives
@@ -178,7 +178,10 @@ def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False,
     ``prepacked``: value_bhwc is ALREADY the [N, H, W, 4*hd] corner table
     (the cached-BEV serving path packs each frame ONCE when it enters the
     cache instead of re-packing all F-1 frames every step — ~0.4 ms/step
-    at RCBEVDet shapes)."""
+    at RCBEVDet shapes).
+    ``frame_order``: optional [N] int32 (traced) — row i of the OUTPUT
+    samples from table row ``frame_order[i]`` (the circular serving
+    cache's age->slot mapping; fx/fy stay in output order)."""
     n, s = fx.shape
     if prepacked:
         hd = value_bhwc.shape[-1] // 4
@@ -194,16 +197,28 @@ def packed_gather_rows(value_bhwc, fx, fy, h, w, split_batch_gather=False,
         )
         flat_n = yc * w + xc
         packed_flat = packed.reshape(n, h * w, 4 * hd)
+
+        def table(i):
+            if frame_order is None:
+                return packed_flat[i]
+            # circular cache: traced slot index — the dynamic slice is the
+            # same staging copy the static slice already paid
+            return jax.lax.dynamic_index_in_dim(
+                packed_flat, frame_order[i], axis=0, keepdims=False
+            )
+
         return jnp.stack(
             [
                 jax.lax.gather(
-                    packed_flat[i], flat_n[i][:, None], dnums,
+                    table(i), flat_n[i][:, None], dnums,
                     slice_sizes=(1, 4 * hd), mode="promise_in_bounds",
                 )
                 for i in range(n)
             ]
         )
     nidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
+    if frame_order is not None:
+        nidx = jnp.broadcast_to(frame_order[:, None], (n, s))
     flat_idx = (nidx * h + yc) * w + xc
     return _gather_packed_rows(packed.reshape(n * h * w, 4 * hd), flat_idx)
 

@@ -111,7 +111,8 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
                           split_batch_gather=False,
                           flat_channels=False,
                           prepacked=False,
-                          flat_groups=1):
+                          flat_groups=1,
+                          frame_order=None):
     """Batched bilinear grid sample via ONE packed-corner row gather.
 
     Same semantics as vmapping :func:`grid_sample_2d` over a leading batch
@@ -154,7 +155,7 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
 
         patch = packed_gather_rows(
             imgs, fx, fy, h, w, split_batch_gather=split_batch_gather,
-            prepacked=prepacked,
+            prepacked=prepacked, frame_order=frame_order,
         )
         if flat_channels:
             from .deform_attn_pallas import warp_combine_flat
@@ -173,6 +174,8 @@ def grid_sample_2d_packed(imgs, grid, align_corners=True,
         )
         return out.reshape((n,) + lead + (c,))
     assert not prepacked, "prepacked tables require the pallas_combine path"
+    assert frame_order is None, (
+        "frame_order requires the pallas_combine path")
     patch, slot_w = packed_bilinear_parts(
         imgs, fx, fy, h, w, split_batch_gather=split_batch_gather
     )

@@ -167,3 +167,47 @@ def test_packed_cache_matches_unpacked():
         np.asarray(cache_p), np.asarray(_pack_corners(key_u)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_circular_cache_ptr_matches_ordered():
+    """forward_cached(cache_ptr=p) over a slot-rotated packed cache ==
+    the age-ordered packed path: the circular serving cache (one-slot
+    dynamic update instead of a full-cache roll) is semantics-preserving."""
+    from rcbevdet_tpu.ops.deform_attn import _pack_corners
+
+    cfg = tiny_config(use_radar=True)
+    model = RCBEVDet(cfg)
+    rng = np.random.default_rng(11)
+    b1 = tiny_batch(rng, cfg, b=1)
+    variables = model.init(jax.random.PRNGKey(0), b1, train=False)
+    kb = _key_batch(b1)
+    ny = nx = cfg.bev_size
+    f1 = cfg.num_adj
+    prev = np.random.default_rng(12).standard_normal(
+        (1, f1, ny, nx, cfg.num_trans_channels)).astype(np.float32)
+    # distinct per-frame s2k so a mis-paired (table, s2k) would show
+    s2k = np.asarray(b1["sensor2keyegos"][:, 1:]).copy()
+    s2k[0, :, :, 0, 3] += np.arange(f1)[None] * 0.25
+    packed = np.asarray(_pack_corners(jnp.asarray(prev[0])))[None]
+
+    preds_o, _ = model.apply(
+        variables, kb, jnp.asarray(packed), jnp.asarray(s2k), None, True,
+        method=RCBEVDet.forward_cached,
+    )
+    for ptr in (0, 1, f1 - 1) if f1 > 1 else (0,):
+        ages = np.arange(f1)
+        slots = (ptr - 1 - ages) % f1
+        rot_packed = np.zeros_like(packed)
+        rot_s2k = np.zeros_like(s2k)
+        rot_packed[0, slots] = packed[0]
+        rot_s2k[0, slots] = s2k[0]
+        preds_c, _ = model.apply(
+            variables, kb, jnp.asarray(rot_packed), jnp.asarray(rot_s2k),
+            None, True, jnp.int32(ptr),
+            method=RCBEVDet.forward_cached,
+        )
+        for k in preds_o:
+            np.testing.assert_allclose(
+                np.asarray(preds_c[k]), np.asarray(preds_o[k]),
+                rtol=1e-5, atol=1e-5, err_msg=f"ptr={ptr} {k}",
+            )
