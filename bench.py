@@ -98,14 +98,13 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), full, train=False)
 
     ny = nx = cfg.bev_size
-    # r5 cache design: packed-corner entries (each frame packed ONCE as
-    # it enters the cache) + a CIRCULAR pointer — the per-step update is a
-    # one-slot dynamic_update_slice (10.5 MB) instead of shifting the
-    # whole cache, and the warp reads slots in age order via traced
-    # indices (equivalence: tests/test_batched_streams.py).
+    # NOTE r5: the packed-corner cache (forward_cached packed_cache=True)
+    # was A/B'd here and REVERTED for the rolled-serving semantics: packing
+    # once per frame saves 0.43 ms/step of re-pack, but rolling + feeding
+    # the 4x-larger cache costs ~0.5 (84 MB shift + input relayout) — net
+    # negative at B=1 and a wash at 8 streams.
     prev_bev0 = jnp.asarray(
-        rng.standard_normal(
-            (1, num_adj, ny, nx, 4 * cfg.num_trans_channels)),
+        rng.standard_normal((1, num_adj, ny, nx, cfg.num_trans_channels)),
         jnp.float32,
     )
     prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
@@ -126,28 +125,23 @@ def main():
         import functools
 
         @functools.partial(
-            jax.jit, donate_argnums=(2, 3),
+            jax.jit, donate_argnums=(2,),
             compiler_options=tpu_compiler_options(),
         )
-        def step(variables, batch, prev_bev, prev_s2k, ptr, pool_meta):
-            # donated circular cache: ONE slot (the oldest) is overwritten
-            # with the new key frame's packed table + s2k; no full-cache
-            # shift, and the buffer identity is stable across steps
-            preds, key_entry = m.apply(
-                variables, batch, prev_bev, prev_s2k, pool_meta, True, ptr,
+        def step(variables, batch, prev_bev, prev_s2k, pool_meta):
+            # prev_bev donated: the cache roll reuses the old buffer
+            # in place instead of a fresh allocation + copy per step
+            # (the deployed StreamServer donates the same way)
+            preds, key_bev = m.apply(
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             dec = decode_predictions(preds)
-            f1 = prev_bev.shape[1]
-            new_prev = jax.lax.dynamic_update_slice_in_dim(
-                prev_bev, key_entry[:, None].astype(prev_bev.dtype), ptr, 1
+            # roll the BEV cache like the deployed pipeline would
+            new_prev = jnp.concatenate(
+                [key_bev[:, None], prev_bev[:, :-1]], axis=1
             )
-            s2k = batch["sensor2keyegos"]
-            s2k = s2k[:, 0] if s2k.ndim == 5 else s2k
-            new_s2k = jax.lax.dynamic_update_slice_in_dim(
-                prev_s2k, s2k[:, None].astype(prev_s2k.dtype), ptr, 1
-            )
-            return dec, new_prev, new_s2k, jnp.mod(ptr + 1, f1)
+            return dec, new_prev
 
         return step
 
@@ -180,25 +174,21 @@ def main():
             vbench, kb, prev_bev = variables, key_batch, prev_bev0 + 0.0
 
         step = make_step(model_bf16 if dtype_name == "bfloat16" else model)
-        ps2k = prev_s2k + 0.0
-        ptr = jnp.zeros((), jnp.int32)
-        dec, prev_bev, ps2k, ptr = step(
-            vbench, kb, prev_bev, ps2k, ptr, pool_meta)
+        dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k, pool_meta)
         jax.block_until_ready(dec.bboxes)
         for _ in range(warmup):
-            dec, prev_bev, ps2k, ptr = step(
-                vbench, kb, prev_bev, ps2k, ptr, pool_meta)
+            dec, prev_bev = step(vbench, kb, prev_bev, prev_s2k, pool_meta)
         jax.block_until_ready(dec.bboxes)
 
-        state = {"prev_bev": prev_bev, "s2k": ps2k, "ptr": ptr}
+        state = {"prev_bev": prev_bev}
 
         def run_n_steps(n):
-            pb, sk, pt = state["prev_bev"], state["s2k"], state["ptr"]
+            pb = state["prev_bev"]
             d = None
             for _ in range(n):
-                d, pb, sk, pt = step(vbench, kb, pb, sk, pt, pool_meta)
+                d, pb = step(vbench, kb, pb, prev_s2k, pool_meta)
             jax.block_until_ready(d.bboxes)
-            state.update(prev_bev=pb, s2k=sk, ptr=pt)
+            state["prev_bev"] = pb
 
         dev_s = (
             _traced_device_ms_per_step(run_n_steps, min(iters, 10)) / 1e3
@@ -206,9 +196,7 @@ def main():
 
         # cost analysis via the SAME jitted function (hits the persistent
         # compile cache rather than recompiling a fresh wrapper)
-        compiled = step.lower(
-            vbench, kb, prev_bev, state["s2k"], state["ptr"], pool_meta
-        ).compile(
+        compiled = step.lower(vbench, kb, prev_bev, prev_s2k, pool_meta).compile(
             compiler_options=tpu_compiler_options()
         )
         cost = compiled.cost_analysis()
@@ -224,8 +212,8 @@ def main():
     # ONCE through a fresh jit instance so the timed executables above stay
     # un-poisoned (the reference's timed loop includes its CUDA rotated NMS)
     step_nms = make_step()
-    dec = step_nms(variables, key_batch, prev_bev0 + 0.0, prev_s2k + 0.0,
-                   jnp.zeros((), jnp.int32), pool_meta)[0]
+    dec, _ = step_nms(variables, key_batch, prev_bev0 + 0.0, prev_s2k,
+                      pool_meta)
     t0 = time.perf_counter()
     bboxes, scores, labels, valid = jax.device_get(
         (dec.bboxes, dec.scores, dec.labels, dec.valid)
@@ -309,27 +297,24 @@ def main():
             }
             kbb = dict(kbb, imgs=kbb["imgs"].astype(dt_b))
             pbb = jnp.zeros(
-                (n_streams, num_adj, ny, nx, 4 * cfg.num_trans_channels),
-                dt_b,
+                (n_streams, num_adj, ny, nx, cfg.num_trans_channels), dt_b
             )
             psb = jnp.asarray(fullb["sensor2keyegos"][:, 1:])
-            ptb = jnp.zeros((), jnp.int32)
             stepb = make_step(model_bf16)
-            dec, pbb, psb, ptb = stepb(vb, kbb, pbb, psb, ptb, pool_meta)
+            dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)  # pbb donated
             jax.block_until_ready(dec.bboxes)
             for _ in range(3):
-                dec, pbb, psb, ptb = stepb(vb, kbb, pbb, psb, ptb,
-                                           pool_meta)
+                dec, pbb = stepb(vb, kbb, pbb, psb, pool_meta)
             jax.block_until_ready(dec.bboxes)
-            st = {"pb": pbb, "sk": psb, "pt": ptb}
+            st = {"pb": pbb}
 
             def run_nb(n):
-                pb, sk, pt = st["pb"], st["sk"], st["pt"]
+                pb = st["pb"]
                 d = None
                 for _ in range(n):
-                    d, pb, sk, pt = stepb(vb, kbb, pb, sk, pt, pool_meta)
+                    d, pb = stepb(vb, kbb, pb, psb, pool_meta)
                 jax.block_until_ready(d.bboxes)
-                st.update(pb=pb, sk=sk, pt=pt)
+                st["pb"] = pb
 
             ms_step = _traced_device_ms_per_step(run_nb, 10)
             out["streams_bf16"] = {

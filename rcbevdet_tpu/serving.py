@@ -59,14 +59,10 @@ class StreamServer:
         self.pool_meta = pool_meta
         self.test_cfg = test_cfg
         ny = nx = cfg.bev_size
-        # packed-corner circular cache (forward_cached packed_cache=True
-        # + cache_ptr): 4x memory, but each frame is packed once and the
-        # per-step update writes ONE slot instead of shifting the cache
         self._cache_shape = (
-            n_streams, cfg.num_adj, ny, nx, 4 * cfg.num_trans_channels
+            n_streams, cfg.num_adj, ny, nx, cfg.num_trans_channels
         )
         self.prev_bev = jnp.zeros(self._cache_shape, dtype)
-        self.cache_ptr = jnp.zeros((), jnp.int32)
         # new streams start from a zero cache; a freshly-reset stream's
         # first num_adj frames see partially-empty history exactly like
         # the reference dataset's clamped adjacent frames at scene starts
@@ -79,24 +75,17 @@ class StreamServer:
             donate_argnums=(2,),
             compiler_options=tpu_compiler_options(),
         )
-        def _step(variables, batch, prev_bev, prev_s2k, ptr, pool_meta):
-            # the caller's s2k table is AGE-ordered (API contract);
-            # forward_cached expects SLOT order next to the circular
-            # cache — scatter it into slot positions (tiny)
-            f1 = prev_bev.shape[1]
-            ages = jnp.arange(f1, dtype=jnp.int32)
-            slots = jnp.mod(ptr - 1 - ages, f1)
-            prev_s2k = jnp.zeros_like(prev_s2k).at[:, slots].set(prev_s2k)
-            preds, key_entry = model.apply(
-                variables, batch, prev_bev, prev_s2k, pool_meta, True, ptr,
+        def _step(variables, batch, prev_bev, prev_s2k, pool_meta):
+            preds, key_bev = model.apply(
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             dec = decode_predictions(preds, test_cfg)
-            new_prev = jax.lax.dynamic_update_slice_in_dim(
-                prev_bev, key_entry[:, None].astype(prev_bev.dtype),
-                ptr, 1,
+            new_prev = jnp.concatenate(
+                [key_bev[:, None].astype(prev_bev.dtype),
+                 prev_bev[:, :-1]], axis=1,
             )
-            return dec, new_prev, jnp.mod(ptr + 1, prev_bev.shape[1])
+            return dec, new_prev
 
         self._step = _step
 
@@ -118,10 +107,9 @@ class StreamServer:
         Returns a list of per-slot dicts with host-NMS'ed numpy arrays
         ``{"bboxes": [K, 9], "scores": [K], "labels": [K]}``.
         """
-        dec, self.prev_bev, self.cache_ptr = self._step(
+        dec, self.prev_bev = self._step(
             self.variables, key_batch, self.prev_bev,
-            jnp.asarray(prev_sensor2keyegos), self.cache_ptr,
-            self.pool_meta,
+            jnp.asarray(prev_sensor2keyegos), self.pool_meta,
         )
         bboxes, scores, labels, valid = jax.device_get(
             (dec.bboxes, dec.scores, dec.labels, dec.valid)

@@ -188,9 +188,9 @@ def main(argv=None):
         }
         ny = nx = mcfg.bev_size
         prev_bev = jnp.zeros(
-            (b, mcfg.num_adj, ny, nx, 4 * mcfg.num_trans_channels),
+            (b, mcfg.num_adj, ny, nx, mcfg.num_trans_channels),
             jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        )  # packed-corner circular cache entries
+        )
         prev_s2k = jnp.asarray(full["sensor2keyegos"][:, 1:])
         pool_meta = None
         if args.accelerate:
@@ -208,8 +208,7 @@ def main(argv=None):
         )
         def step(variables, batch, prev_bev, prev_s2k, pool_meta=None):
             preds, key_bev = model.apply(
-                variables, batch, prev_bev, prev_s2k, pool_meta, True,
-                jnp.zeros((), jnp.int32),
+                variables, batch, prev_bev, prev_s2k, pool_meta,
                 method=RCBEVDet.forward_cached,
             )
             return decode_predictions(preds), key_bev
