@@ -244,8 +244,16 @@ class CameraBEVBranch(nn.Module):
             cost_volume=cost_volume, train=train, update_stats=update_stats,
             pool_meta=pool_meta, mlp_sensor2ego=mlp_sensor2keyegos,
         )
+        # pre_process routing is batch-dependent (v5e A/B): at its
+        # 80-channel shape the Pallas kernel's [*, 80] x [80, 80] taps
+        # waste the MXU (the radar-compress 64-ch lesson) and at S=8 the
+        # in-model cost matched the isolated kernel cost (5.65 vs 5.60
+        # ms/step; XLA in-model ~2.2 -> serving 19.27 -> 18.65 ms/frame),
+        # so multi-stream uses XLA.  At B=1 the usual in-graph layout
+        # penalty flips it (XLA 0.16 isolated but 0.88 in-model vs Pallas
+        # ~0.67): single-stream keeps the Pallas path.
         bev = self.pre_process(bev, train=train, update_stats=update_stats,
-                               fast=fast)[0]
+                               fast=fast and bev.shape[0] == 1)[0]
         return bev, depth
 
 
