@@ -86,11 +86,21 @@ class MSDeformAttn(nn.Module):
         # einsum autodiff's ~9.5 ms/layer of transposed patch copies
         # disappear (measured on v5e at CAMF train shapes)
         reduce = "custom" if train else "pallas"
-        core = jax.checkpoint(
-            lambda v, l, w: ms_deform_attn_core(
-                v, spatial_shapes, l, w, reduce=reduce
-            )
+        core = lambda v, l, w: ms_deform_attn_core(  # noqa: E731
+            v, spatial_shapes, l, w, reduce=reduce
         )
+        if not train:
+            # inference: checkpoint is free (no backward) — keep the wrap
+            # so any outer grad falls back to remat semantics
+            core = jax.checkpoint(core)
+        # train: NO jax.checkpoint. The 'custom' path's hand-written VJP
+        # already re-gathers the patch instead of storing it; its residuals
+        # are only (packed corner table ~67 MB f32, flat_idx, w4t ~16 MB)
+        # per layer.  Wrapping it in checkpoint re-ran the whole core
+        # (corner pack + 1M-row gather + combine kernel, ~4 ms/layer) a
+        # second time in the backward just to avoid ~170 MB of residuals —
+        # a bad trade at B=1 train (peak HBM is set by B>1 batching, which
+        # per-chip benchmarking already rejected; see ROADMAP round-3 §4).
         out = core(value, locations, weights)
         return nn.Dense(self.d_model, name="output_proj")(out)
 

@@ -308,25 +308,31 @@ def _pcpr_bwd(p, hd, res, g):
     lq = s // p
     c4 = packed_flat.shape[-1]
     patch = _gather_packed_rows(packed_flat, flat_idx)
-    g_b = jnp.broadcast_to(
-        g[:, None].astype(patch.dtype), (n, p, lq, hd)
-    ).reshape(n, s, hd)
-    d_w4t = jnp.stack(
-        [
-            jnp.sum(patch[..., si * hd : (si + 1) * hd] * g_b, -1)
-            for si in range(4)
-        ],
-        axis=1,
-    ).astype(w4t.dtype)
     if _use_pallas_combine(lq):
-        # lane-major w4t x sublane-major cotangent: the XLA broadcast
-        # fusion relayouts at ~6x the write floor (4.1 ms/layer); the
-        # Pallas kernel's indicator matmul does the lane broadcast on
-        # the MXU (ops/deform_attn_pallas.py::dpatch_broadcast)
-        from .deform_attn_pallas import dpatch_broadcast
+        # ONE fused kernel streams the re-gathered patch once and emits
+        # both cotangents: d_patch via the indicator-matmul lane broadcast
+        # (as dpatch_broadcast did — the XLA broadcast fusion relayouts at
+        # ~6x the write floor, 4.1 ms/layer) AND d_w4t via an MXU
+        # E-contraction directly in its [N, 4, S] lane-major layout (the
+        # XLA 4-slot multiply-reduce + stack pays an S-sublane -> S-lane
+        # relayout per slot on the VPU)
+        from .deform_attn_pallas import dpatch_dw4t
 
-        d_patch = dpatch_broadcast(w4t, g.astype(patch.dtype), p, hd)
+        d_patch, d_w4t = dpatch_dw4t(
+            w4t, g.astype(patch.dtype), patch, p, hd
+        )
+        d_w4t = d_w4t.astype(w4t.dtype)
     else:
+        g_b = jnp.broadcast_to(
+            g[:, None].astype(patch.dtype), (n, p, lq, hd)
+        ).reshape(n, s, hd)
+        d_w4t = jnp.stack(
+            [
+                jnp.sum(patch[..., si * hd : (si + 1) * hd] * g_b, -1)
+                for si in range(4)
+            ],
+            axis=1,
+        ).astype(w4t.dtype)
         d_patch = jnp.concatenate(
             [w4t[:, si, :, None].astype(patch.dtype) * g_b
              for si in range(4)],

@@ -418,6 +418,89 @@ def combine4_p_reduce(patch, w4t, p, hd, block_q=8192, interpret=None):
     return f(patch, w4t, e, r)
 
 
+def _dpatch_dw4t_kernel(w_ref, g_ref, p_ref, e_ref, dp_ref, dw_ref):
+    prec = (jax.lax.Precision.HIGHEST
+            if g_ref.dtype == jnp.float32 else None)
+    w128 = jax.lax.dot_general(
+        w_ref[0], e_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    g = g_ref[0]
+    g_rep = jnp.concatenate([g, g, g, g], axis=-1)  # [T, 4*hd]
+    dp_ref[0] = (w128.astype(g.dtype) * g_rep).astype(dp_ref.dtype)
+    # d_w4t[si, t] = sum_lanes patch[t, si*hd:(si+1)*hd] * g[t, :]: the
+    # lane-group reduce runs as one E-contraction on the MXU, emitting the
+    # [4, T] tile directly in d_w4t's lane-major layout (the XLA stack
+    # formulation pays an S-sublane -> S-lane relayout per slot)
+    val = p_ref[0].astype(g.dtype) * g_rep  # [T, 4*hd]
+    dw = jax.lax.dot_general(
+        e_ref[:], val, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [4, T]
+    dw_ref[0] = dw.astype(dw_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "hd", "interpret"))
+def dpatch_dw4t(w4t, g, patch, p, hd, interpret=None):
+    """Fused deform-attn backward: one pass emitting BOTH cotangents.
+
+        d_patch[n, pp*Lq+q, si*hd+c] = w4t[n, si, pp*Lq+q] * g[n, q, c]
+        d_w4t[n, si, pp*Lq+q] = sum_c patch[n, pp*Lq+q, si*hd+c] * g[n, q, c]
+
+    Replaces :func:`dpatch_broadcast` + the XLA d_w4t stack in
+    ``ops/deform_attn.py::_pcpr_bwd``: the patch (re-gathered by the
+    caller) is streamed ONCE and the d_w4t lane-group reduce happens on
+    the MXU in d_w4t's own [N, 4, S] lane-major layout, instead of a
+    4-slot multiply-reduce + S-relayout stack fusion on the VPU.
+
+    w4t: [N, 4, S] (S = p*Lq, P-major); g: [N, Lq, hd]; patch: [N, S, 4*hd].
+    Returns (d_patch [N, S, 4*hd] in g.dtype, d_w4t [N, 4, S] f32).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, _, s = w4t.shape
+    lq = s // p
+    c4 = 4 * hd
+    cap = max(128, (2 << 20) // (c4 * g.dtype.itemsize))
+    t = 1 << (cap.bit_length() - 1)
+    while lq % t:
+        t //= 2
+    n_lq = lq // t
+    e = jnp.asarray(
+        (np.arange(c4)[None] // hd == np.arange(4)[:, None]), jnp.float32
+    ).astype(g.dtype)
+    f = pl.pallas_call(
+        _dpatch_dw4t_kernel,
+        grid=(n, n_lq, p),
+        in_specs=[
+            pl.BlockSpec((1, 4, t),
+                         lambda hh, q, pp: (hh, 0, pp * n_lq + q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, hd), lambda hh, q, pp: (hh, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c4),
+                         lambda hh, q, pp: (hh, pp * n_lq + q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c4), lambda hh, q, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, c4),
+                         lambda hh, q, pp: (hh, pp * n_lq + q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, t),
+                         lambda hh, q, pp: (hh, 0, pp * n_lq + q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, s, c4), g.dtype),
+            jax.ShapeDtypeStruct((n, 4, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    return f(w4t.astype(g.dtype), g, patch, e)
+
+
 def _dpatch_kernel(w_ref, g_ref, e_ref, o_ref):
     prec = (jax.lax.Precision.HIGHEST
             if g_ref.dtype == jnp.float32 else None)
